@@ -1,0 +1,282 @@
+"""Checkpointed discrete-adjoint driver: forward scan + reverse sweep.
+
+The TPU-native rebuild of PETSc TSSolve + TSAdjoint + TSTrajectory:
+
+- Forward: one ``lax.scan`` over the static step schedule (the hot loop that
+  in the reference crosses Python<->C per step,
+  /root/reference/pnode/petsc_adjoint.py:829 ``ts.solve`` + callbacks; here
+  the whole trajectory is a single compiled program).
+- Backward: a hand-written reverse ``lax.scan`` applying each stepper's
+  stage-exact ``step_adj`` transpose, with gradient forcing injected at
+  interior output points — the reference does the same forcing in
+  ``OdeintAdjointMethod.backward`` (``adj_u += grad_output[i-1]``,
+  /root/reference/pnode/petsc_adjoint.py:936-944); here the forcing array is
+  scattered once and added inside the scan.
+- Trajectory policies replace TSTrajectory's flag-driven checkpointing
+  (/root/reference/README.md:91-100):
+
+  * ``store_all``      — keep states AND stage values (solution_only=0):
+                          the adjoint replays with zero recomputation.
+  * ``solution_only``  — keep states only (solution_only=1): stages are
+                          recomputed (implicit stages re-solve Newton) in the
+                          reverse sweep.
+  * ``checkpoint(c)``  — keep only ``c`` evenly spaced checkpoints
+                          (-ts_trajectory_max_cps_ram): the reverse sweep
+                          recomputes each segment forward (storing the
+                          segment locally) then sweeps it — memory
+                          O(c + N/c) instead of O(N).
+
+The whole driver is wrapped in ``jax.custom_vjp`` so that trajectory storage
+is exactly what the policy dictates rather than whatever XLA's autodiff
+would persist.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .misc import tree_add, tree_zeros_like
+from .steppers import StepStats
+
+
+@dataclass(frozen=True)
+class TrajectoryConfig:
+    """Static trajectory policy (from -ts_trajectory_* flags)."""
+
+    kind: str = "store_all"  # store_all | solution_only | checkpoint
+    max_cps: int = 0          # used when kind == "checkpoint"
+
+
+class SolveStats(NamedTuple):
+    newton_iters: jnp.ndarray
+    newton_converged: jnp.ndarray
+
+
+def _sum_stats(stats: StepStats) -> SolveStats:
+    return SolveStats(
+        newton_iters=jnp.sum(stats.newton_iters),
+        newton_converged=jnp.all(stats.newton_converged),
+    )
+
+
+def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True):
+    """Build a differentiable ``solve(y0, params, ts, dts) -> (outputs, stats)``.
+
+    ``grid`` is a TimeGrid (static); ``ts``/``dts`` are passed as runtime
+    arrays (values participate in tracing; lengths are static). Gradients
+    flow to ``y0`` and ``params`` via the hand-written discrete adjoint; time
+    arrays get zero cotangents (dt is data, not differentiated — adaptive
+    schedules are replayed, SURVEY.md section 7).
+    """
+    n_steps = int(grid.n_steps)
+    out_idx = np.asarray(grid.out_idx)
+    store_aux = traj.kind == "store_all"
+
+    # -- forward primitives ------------------------------------------------
+
+    def fwd_scan_collect(y0, params, ts, dts):
+        """Forward pass storing per-step state (and aux when configured)."""
+        stp = stepper.prepare(ts[0], y0, params)
+
+        def body(y, x):
+            t, dt = x
+            y1, aux, st = stp.step(t, dt, y, params)
+            out = (y, aux, st) if store_aux else (y, st)
+            return y1, out
+
+        y_final, outs = lax.scan(body, y0, (ts, dts))
+        if store_aux:
+            y_hist, aux_hist, stats = outs
+        else:
+            (y_hist, stats) = outs
+            aux_hist = None
+        return y_final, y_hist, aux_hist, stats
+
+    def gather_outputs(y0, y_hist, y_final):
+        states = jnp.concatenate([y_hist, y_final[None]], axis=0) if n_steps > 0 else y0[None]
+        if n_steps == 0:
+            return jnp.stack([y0 for _ in out_idx])
+        return states[jnp.asarray(out_idx)]
+
+    # -- plain forward (used by odeint without adjoint) --------------------
+
+    def solve_noadj(y0, params, ts, dts):
+        if n_steps == 0:
+            zero = _sum_stats(StepStats(jnp.zeros((0,), jnp.int32), jnp.ones((0,), bool)))
+            return jnp.stack([y0 for _ in out_idx]), zero
+        # interior outputs are collected on the fly (no trajectory storage)
+        out_nodes = jnp.asarray(out_idx)
+        stp = stepper.prepare(ts[0], y0, params)
+
+        def body2(carry, x):
+            y, outputs = carry
+            k, t, dt = x
+            y1, _, st = stp.step(t, dt, y, params)
+            hit = out_nodes == (k + 1)
+            outputs = jnp.where(
+                hit.reshape((-1,) + (1,) * y1.ndim), y1[None], outputs
+            )
+            return (y1, outputs), st
+
+        outputs0 = jnp.broadcast_to(y0, (len(out_idx),) + y0.shape).astype(y0.dtype)
+        ks = jnp.arange(n_steps)
+        (y_final, outputs), stats = lax.scan(body2, (y0, outputs0), (ks, ts, dts))
+        return outputs, _sum_stats(stats)
+
+    # -- custom-vjp adjoint path -------------------------------------------
+
+    def _reverse_sweep(stp, lam_init, gp_init, params, y_hist, aux_hist, ts, dts, force):
+        """Sweep steps N-1..0: lam <- step_adj(...); lam += force[k]."""
+
+        def body(carry, x):
+            lam, gp = carry
+            if store_aux:
+                y_k, aux_k, t_k, dt_k, f_k = x
+            else:
+                y_k, t_k, dt_k, f_k = x
+                aux_k = None
+            lam_new, gstep = stp.step_adj(t_k, dt_k, y_k, params, aux_k, lam)
+            lam_new = lam_new + f_k
+            gp = tree_add(gp, gstep)
+            return (lam_new, gp), None
+
+        xs = (
+            (y_hist, aux_hist, ts, dts, force)
+            if store_aux
+            else (y_hist, ts, dts, force)
+        )
+        (lam, gp), _ = lax.scan(body, (lam_init, gp_init), xs, reverse=True)
+        return lam, gp
+
+    @jax.custom_vjp
+    def solve(y0, params, ts, dts):
+        outputs, stats = solve_noadj(y0, params, ts, dts)
+        return outputs, stats
+
+    def solve_fwd(y0, params, ts, dts):
+        if traj.kind == "checkpoint" and n_steps > 0:
+            c = max(1, int(traj.max_cps))
+            seg_len = max(1, math.ceil(n_steps / c))
+            n_seg = math.ceil(n_steps / seg_len)
+            pad = n_seg * seg_len - n_steps
+            # pad with zero-dt identity steps at the end (harmless: dt=0 makes
+            # the step map the identity with zero parameter gradient)
+            ts_p = jnp.concatenate([ts, jnp.full((pad,), ts[-1], ts.dtype)])
+            dts_p = jnp.concatenate([dts, jnp.zeros((pad,), dts.dtype)])
+            out_nodes = jnp.asarray(out_idx)
+            stp = stepper.prepare(ts[0], y0, params)
+
+            def seg_body(carry, x):
+                y, outputs = carry
+                seg_ts, seg_dts, seg_k0 = x
+
+                def inner(carry2, x2):
+                    y2, outputs2 = carry2
+                    k, t, dt = x2
+                    y1, _, st = stp.step(t, dt, y2, params)
+                    hit = out_nodes == (k + 1)
+                    outputs2 = jnp.where(
+                        hit.reshape((-1,) + (1,) * y1.ndim), y1[None], outputs2
+                    )
+                    return (y1, outputs2), st
+
+                ks = seg_k0 + jnp.arange(seg_len)
+                (y1, outputs), st = lax.scan(
+                    inner, (y, outputs), (ks, seg_ts, seg_dts)
+                )
+                return (y1, outputs), (y, st)
+
+            outputs0 = jnp.broadcast_to(y0, (len(out_idx),) + y0.shape).astype(
+                y0.dtype
+            )
+            seg_ts = ts_p.reshape(n_seg, seg_len)
+            seg_dts = dts_p.reshape(n_seg, seg_len)
+            seg_k0s = jnp.arange(n_seg) * seg_len
+            (y_final, outputs), (cps, stats) = lax.scan(
+                seg_body, (y0, outputs0), (seg_ts, seg_dts, seg_k0s)
+            )
+            stats_flat = StepStats(
+                newton_iters=stats.newton_iters.reshape(-1),
+                newton_converged=stats.newton_converged.reshape(-1),
+            )
+            res = (y0, params, ts, dts, cps, (n_seg, seg_len, pad))
+            return (outputs, _sum_stats(stats_flat)), res
+
+        y_final, y_hist, aux_hist, stats = fwd_scan_collect(y0, params, ts, dts)
+        outputs = gather_outputs(y0, y_hist, y_final)
+        res = (y0, params, ts, dts, (y_hist, aux_hist), None)
+        return (outputs, _sum_stats(stats)), res
+
+    def solve_bwd(res, cts):
+        g_outputs, _ = cts  # stats cotangent ignored (integer telemetry)
+        y0, params, ts, dts, stored, seg_info = res
+        state_shape = y0.shape
+        dtype = y0.dtype
+
+        # scatter output cotangents onto trajectory nodes (forcing array)
+        force = jnp.zeros((n_steps + 1,) + state_shape, dtype)
+        force = force.at[jnp.asarray(out_idx)].add(g_outputs)
+
+        gp0 = tree_zeros_like(params)
+        if n_steps == 0:
+            return force[0], gp0, jnp.zeros_like(ts), jnp.zeros_like(dts)
+
+        stp = stepper.prepare(ts[0], y0, params)
+        lam = force[n_steps]
+
+        if seg_info is not None:
+            n_seg, seg_len, pad = seg_info
+            cps = stored
+            ts_p = jnp.concatenate([ts, jnp.full((pad,), ts[-1], ts.dtype)])
+            dts_p = jnp.concatenate([dts, jnp.zeros((pad,), dts.dtype)])
+            force_p = jnp.concatenate(
+                [force[:-1], jnp.zeros((pad,) + state_shape, dtype)]
+            )
+            seg_ts = ts_p.reshape(n_seg, seg_len)
+            seg_dts = dts_p.reshape(n_seg, seg_len)
+            seg_force = force_p.reshape((n_seg, seg_len) + state_shape)
+
+            def seg_bwd(carry, x):
+                lam_c, gp_c = carry
+                y_cp, s_ts, s_dts, s_force = x
+                # recompute the segment forward, storing states (+aux)
+                def fbody(y, xx):
+                    t, dt = xx
+                    y1, aux, _ = stp.step(t, dt, y, params)
+                    out = (y, aux) if store_aux else (y,)
+                    return y1, out
+
+                _, outs = lax.scan(fbody, y_cp, (s_ts, s_dts))
+                if store_aux:
+                    y_hist_s, aux_hist_s = outs
+                else:
+                    (y_hist_s,) = outs
+                    aux_hist_s = None
+                lam_c, gp_c = _reverse_sweep(
+                    stp, lam_c, gp_c, params, y_hist_s, aux_hist_s, s_ts, s_dts, s_force
+                )
+                return (lam_c, gp_c), None
+
+            (lam, gp), _ = lax.scan(
+                seg_bwd, (lam, gp0), (cps, seg_ts, seg_dts, seg_force), reverse=True
+            )
+        else:
+            y_hist, aux_hist = stored
+            lam, gp = _reverse_sweep(
+                stp, lam, gp0, params, y_hist, aux_hist, ts, dts, force[:-1]
+            )
+
+        return lam, gp, jnp.zeros_like(ts), jnp.zeros_like(dts)
+
+    solve.defvjp(solve_fwd, solve_bwd)
+
+    if with_adjoint:
+        return solve
+    return solve_noadj

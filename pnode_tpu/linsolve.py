@@ -1,0 +1,330 @@
+"""Linear solvers for implicit stages: matrix-free GMRES, dense LU, block LU.
+
+TPU-native replacements for the reference's three linear-solver strategies
+(``linear_solver`` in /root/reference/pnode/petsc_adjoint.py:581):
+
+- ``"gmres"`` (reference "petsc", KSP GMRES on a shell matrix): restarted
+  GMRES built from scratch on matrix-free operators. Where the reference
+  computes J@v by a double-VJP trick through torch autograd
+  (/root/reference/pnode/petsc_adjoint.py:129-144), here J@v is a native
+  ``jax.jvp`` (forward-mode — one pass, cheaper) and J^T@v is a native
+  ``jax.vjp``; the transposed solves needed by the discrete adjoint come for
+  free instead of via shell-matrix ``multTranspose``.
+- ``"direct"`` (reference "torch", cached dense LU in
+  /root/reference/pnode/torch_linearsolve.py:7-35): per-block dense Jacobians
+  assembled with ``jax.jacfwd``, factored once per solve (or once per odeint
+  when ``fixed_jacobian``), batched over the batch axis with ``vmap`` —
+  block-diagonal structure exploited exactly where HPDDM's block solve
+  exploited it.
+- ``"block"`` (reference "hpddm", BGMRES MatSolve in
+  /root/reference/pnode/hpddm_linearsolve.py:7-66): one shared
+  (n/batch x n/batch) matrix assembled from the first batch row, multi-RHS
+  dense solve — replicating the reference's shared-operator semantics.
+
+All solvers operate on flat 1-D vectors; batch structure is communicated via
+``batch_size`` (the reference's HPDDM block-size argument,
+/root/reference/pnode/petsc_adjoint.py:580).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class GMRESResult(NamedTuple):
+    x: jnp.ndarray
+    resnorm: jnp.ndarray
+    iters: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _safe_normalize(v, eps):
+    nrm = jnp.linalg.norm(v)
+    return jnp.where(nrm > eps, v / jnp.where(nrm > eps, nrm, 1.0), jnp.zeros_like(v)), nrm
+
+
+def gmres(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 0.0,
+    restart: int = 30,
+    max_restarts: int = 10,
+) -> GMRESResult:
+    """Restarted GMRES (modified Gram-Schmidt Arnoldi), fully jittable.
+
+    XLA-friendly control flow: each restart cycle builds a fixed-size Krylov
+    basis with masked updates (converged lanes freeze), then solves the small
+    (m+1, m) least-squares problem. Early termination happens at cycle
+    granularity via ``lax.while_loop``; within a cycle, breakdown lanes are
+    masked to no-ops, so static shapes are preserved for the TPU compiler.
+    """
+    n = b.shape[0]
+    dtype = b.dtype
+    m = int(min(restart, n))
+    eps = jnp.asarray(jnp.finfo(dtype).tiny * 1e3, dtype)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    bnorm = jnp.linalg.norm(b)
+    target = jnp.maximum(rtol * bnorm, atol).astype(dtype)
+
+    def cycle(x):
+        r0 = b - matvec(x)
+        beta = jnp.linalg.norm(r0)
+        v0, _ = _safe_normalize(r0, eps)
+
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(v0)
+        H = jnp.zeros((m + 1, m), dtype)
+
+        def arnoldi(j, carry):
+            V, H = carry
+            w = matvec(V[j])
+            # modified-Gram-Schmidt as two masked full-matrix passes (the
+            # second pass restores MGS-level orthogonality — "CGS2")
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            h1 = (V @ w) * mask
+            w = w - V.T @ h1
+            h2 = (V @ w) * mask
+            w = w - V.T @ h2
+            hcol = h1 + h2
+            wnorm = jnp.linalg.norm(w)
+            vnext, _ = _safe_normalize(w, eps)
+            hcol = hcol.at[j + 1].set(wnorm)
+            V = V.at[j + 1].set(vnext)
+            H = H.at[:, j].set(hcol)
+            return V, H
+
+        V, H = lax.fori_loop(0, m, arnoldi, (V, H))
+        e1 = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        x_new = x + V[:m].T @ y
+        return x_new
+
+    def cond(state):
+        x, rnorm, it = state
+        return jnp.logical_and(rnorm > target, it < max_restarts)
+
+    def body(state):
+        x, _, it = state
+        x = cycle(x)
+        rnorm = jnp.linalg.norm(b - matvec(x))
+        return x, rnorm, it + 1
+
+    r_init = jnp.linalg.norm(b - matvec(x0))
+    x, rnorm, cycles = lax.while_loop(cond, body, (x0, r_init, jnp.array(0)))
+    return GMRESResult(
+        x=x,
+        resnorm=rnorm,
+        iters=cycles * m,
+        converged=rnorm <= jnp.maximum(target, eps),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Strategy objects for the implicit-stage operator  (sigma*M - gamma*J)
+# ----------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class LinearSolveConfig:
+    """Static configuration resolved from ``setupTS`` kwargs + runtime options.
+
+    kind: "gmres" | "direct" | "block" (reference petsc/torch/hpddm).
+    """
+
+    kind: str = "gmres"
+    rtol: float = 1e-5
+    atol: float = 0.0
+    restart: int = 30
+    max_restarts: int = 10
+    batch_size: int = 1
+    fixed_jacobian: bool = False
+
+
+def normalize_linear_solver_name(name: str) -> str:
+    aliases = {
+        "petsc": "gmres",
+        "gmres": "gmres",
+        "torch": "direct",
+        "direct": "direct",
+        "lu": "direct",
+        "hpddm": "block",
+        "block": "block",
+    }
+    if name not in aliases:
+        raise ValueError(
+            f"unknown linear_solver {name!r}; expected one of {sorted(aliases)}"
+        )
+    return aliases[name]
+
+
+def assemble_block_jacobian(f_flat, y_flat, batch_size: int, shared: bool):
+    """Dense Jacobian(s) of the flat vector field, exploiting batch structure.
+
+    f_flat: flat -> flat vector field (already has t bound).
+    Returns (batch, d, d) per-sample Jacobians, or (1, d, d) when ``shared``
+    (Jacobian of the first batch row applied to all rows, replicating
+    /root/reference/pnode/petsc_adjoint.py:479 which calls
+    ``jacrev(funcIM)(t, u[0:1])``).
+    """
+    n = y_flat.shape[0]
+    if batch_size <= 1:
+        J = jax.jacfwd(f_flat)(y_flat)
+        return J[None, :, :]
+    d = n // batch_size
+    rows = y_flat.reshape(batch_size, d)
+
+    def f_row(row, full_rows, idx):
+        full = lax.dynamic_update_slice(full_rows, row[None, :], (idx, 0))
+        return f_flat(full.reshape(-1)).reshape(batch_size, d)[idx]
+
+    if shared:
+        J0 = jax.jacfwd(lambda r: f_row(r, rows, 0))(rows[0])
+        return J0[None, :, :]
+    idxs = jnp.arange(batch_size)
+    Js = jax.vmap(
+        lambda i: jax.jacfwd(lambda r: f_row(r, rows, i))(rows[i])
+    )(idxs)
+    return Js
+
+
+class DenseStageSolver:
+    """LU-factored solve of (sigma*M - gamma*J) per batch block.
+
+    The factorization is computed once per construction and reused across
+    Newton iterations and (transposed) adjoint solves — the cached-factor
+    strategy of /root/reference/pnode/torch_linearsolve.py:13-21 (``lu_factor``
+    once, ``lu_solve`` per apply, transpose via ``adjoint=True``).
+    """
+
+    def __init__(self, J_blocks, mass_blocks, sigma, gamma, batch_size, n):
+        # op = sigma*M - gamma*J per block
+        d = J_blocks.shape[-1]
+        eye = jnp.eye(d, dtype=J_blocks.dtype)
+        M = mass_blocks if mass_blocks is not None else eye[None]
+        op = sigma * M - gamma * J_blocks
+        self._lu, self._piv = jax.vmap(jax.scipy.linalg.lu_factor)(op)
+        self._shared = op.shape[0] == 1
+        self._batch = batch_size
+        self._n = n
+        self._d = d
+
+    def _solve(self, rhs_flat, trans):
+        r = rhs_flat.reshape(self._batch if self._batch > 1 else 1, self._d)
+        if self._shared:
+            x = jax.scipy.linalg.lu_solve(
+                (self._lu[0], self._piv[0]), r.T, trans=trans
+            ).T
+        else:
+            x = jax.vmap(
+                lambda lu, piv, b: jax.scipy.linalg.lu_solve((lu, piv), b, trans=trans)
+            )(self._lu, self._piv, r)
+        return x.reshape(rhs_flat.shape)
+
+    def solve(self, rhs_flat):
+        return self._solve(rhs_flat, trans=0)
+
+    def solve_transpose(self, rhs_flat):
+        return self._solve(rhs_flat, trans=1)
+
+
+class GMRESStageSolver:
+    """Matrix-free solve of (sigma*M - gamma*J) v = rhs via restarted GMRES.
+
+    Forward apply uses ``jax.jvp`` of the vector field; the transposed apply
+    (adjoint path) uses ``jax.vjp`` — replacing the reference's RHSJacShell
+    mult/multTranspose double-VJP shells
+    (/root/reference/pnode/petsc_adjoint.py:19-89).
+    """
+
+    def __init__(self, f_flat, y_flat, mass_matvec, mass_rmatvec, sigma, gamma, cfg):
+        self._cfg = cfg
+        self._sigma = sigma
+        self._gamma = gamma
+        self._y = y_flat
+        self._f = f_flat
+        self._mass_mv = mass_matvec
+        self._mass_rmv = mass_rmatvec
+        _, self._vjp_fun = jax.vjp(f_flat, y_flat)
+
+    def _apply(self, v):
+        _, jv = jax.jvp(self._f, (self._y,), (v,))
+        mv = self._mass_mv(v) if self._mass_mv is not None else v
+        return self._sigma * mv - self._gamma * jv
+
+    def _apply_T(self, v):
+        (jtv,) = self._vjp_fun(v)
+        mv = self._mass_rmv(v) if self._mass_rmv is not None else v
+        return self._sigma * mv - self._gamma * jtv
+
+    def solve(self, rhs_flat):
+        res = gmres(
+            self._apply,
+            rhs_flat,
+            rtol=self._cfg.rtol,
+            atol=self._cfg.atol,
+            restart=self._cfg.restart,
+            max_restarts=self._cfg.max_restarts,
+        )
+        return res.x
+
+    def solve_transpose(self, rhs_flat):
+        res = gmres(
+            self._apply_T,
+            rhs_flat,
+            rtol=self._cfg.rtol,
+            atol=self._cfg.atol,
+            restart=self._cfg.restart,
+            max_restarts=self._cfg.max_restarts,
+        )
+        return res.x
+
+
+def make_stage_solver(
+    f_flat,
+    y_flat,
+    mass_flat: Optional[jnp.ndarray],
+    sigma,
+    gamma,
+    cfg: LinearSolveConfig,
+    cached_J_blocks: Optional[jnp.ndarray] = None,
+):
+    """Build the (sigma*M - gamma*J) solver at linearization point ``y_flat``.
+
+    mass_flat: per-block mass matrix of shape (d, d) in flat-block space, or
+    None for identity (M applied blockwise; the reference applies a dense
+    (n, n) mass to the unbatched flat state —
+    /root/reference/pnode/petsc_adjoint.py:426-431 — which is the
+    batch_size=1 case here).
+    """
+    n = y_flat.shape[0]
+    if cfg.kind == "gmres":
+        if mass_flat is None:
+            mass_mv = mass_rmv = None
+        else:
+            batch = max(cfg.batch_size, 1)
+            d = n // batch
+
+            def mass_mv(v):
+                return (v.reshape(batch, d) @ mass_flat.T).reshape(-1)
+
+            def mass_rmv(v):
+                return (v.reshape(batch, d) @ mass_flat).reshape(-1)
+
+        return GMRESStageSolver(f_flat, y_flat, mass_mv, mass_rmv, sigma, gamma, cfg)
+
+    shared = cfg.kind == "block"
+    if cached_J_blocks is not None:
+        J_blocks = cached_J_blocks
+    else:
+        J_blocks = assemble_block_jacobian(f_flat, y_flat, cfg.batch_size, shared)
+    mass_blocks = None if mass_flat is None else mass_flat[None]
+    return DenseStageSolver(J_blocks, mass_blocks, sigma, gamma, cfg.batch_size, n)

@@ -1,0 +1,82 @@
+"""Newton and Newton-Krylov nonlinear solves for implicit stages.
+
+TPU-native equivalent of the reference's SNES usage: PETSc SNES Newton with
+KSP inner solves drives every implicit/IMEX stage
+(/root/reference/pnode/petsc_adjoint.py:701-714), with ``-snes_type ksponly``
+selecting a single linearized solve (used by the stiff PDE examples, e.g.
+/root/reference/examples-sinode/KS/KS.py:12).
+
+Control flow is a ``lax.while_loop`` (converged lanes exit at iteration
+granularity); the loop is *not* differentiated — the discrete adjoint
+transposes the converged linearization instead (implicit function theorem),
+exactly like PETSc TSAdjoint. Defaults mirror SNES defaults (rtol 1e-8,
+max_it 50).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclass(frozen=True)
+class NewtonConfig:
+    rtol: float = 1e-8
+    atol: float = 1e-50
+    stol: float = 1e-8
+    max_it: int = 50
+    ksponly: bool = False  # -snes_type ksponly: one linearized solve
+
+
+class NewtonStats(NamedTuple):
+    iters: jnp.ndarray
+    resnorm: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def newton_solve(
+    residual: Callable[[jnp.ndarray], jnp.ndarray],
+    make_solver: Callable[[jnp.ndarray], object],
+    z0: jnp.ndarray,
+    cfg: NewtonConfig,
+):
+    """Solve residual(z) = 0 starting from z0.
+
+    make_solver(z) returns an object whose ``.solve(r)`` applies the inverse
+    of the stage operator (sigma*M - gamma*J) evaluated at ``z`` — matrix-free
+    GMRES or cached dense LU depending on configuration.
+
+    Returns (z, NewtonStats).
+    """
+    r0 = residual(z0)
+    r0norm = jnp.linalg.norm(r0)
+
+    if cfg.ksponly:
+        delta = make_solver(z0).solve(r0)
+        z = z0 - delta
+        rnorm = jnp.linalg.norm(residual(z))
+        return z, NewtonStats(
+            iters=jnp.array(1), resnorm=rnorm, converged=jnp.array(True)
+        )
+
+    target = jnp.maximum(cfg.rtol * r0norm, cfg.atol)
+
+    def cond(state):
+        z, rnorm, dznorm, it = state
+        unconverged = jnp.logical_and(rnorm > target, dznorm > cfg.stol * (1.0 + jnp.linalg.norm(z)))
+        return jnp.logical_and(unconverged, it < cfg.max_it)
+
+    def body(state):
+        z, rnorm, _, it = state
+        r = residual(z)
+        delta = make_solver(z).solve(r)
+        z_new = z - delta
+        rnorm_new = jnp.linalg.norm(residual(z_new))
+        return z_new, rnorm_new, jnp.linalg.norm(delta), it + 1
+
+    big = jnp.asarray(jnp.inf, z0.dtype)
+    z, rnorm, _, iters = lax.while_loop(cond, body, (z0, r0norm, big, jnp.array(0)))
+    return z, NewtonStats(iters=iters, resnorm=rnorm, converged=rnorm <= jnp.maximum(target, 10 * jnp.finfo(z0.dtype).eps * (1 + r0norm)))

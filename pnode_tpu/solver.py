@@ -1,0 +1,268 @@
+"""Solver facade: the three-call user API (setupTS / odeint / odeint_adjoint).
+
+Mirrors the reference's ``ODEPetsc`` class surface
+(/root/reference/pnode/petsc_adjoint.py:366-900) so reference workloads carry
+over, while the engine underneath is the TPU-native stack (tableau steppers
+over ``lax.scan``, hand-written discrete adjoint, matrix-free Newton-Krylov):
+
+    ode = ODESolver()
+    ode.setupTS(u_template, func, step_size=..., method="cn",
+                implicit_form=True, enable_adjoint=True)
+    sol = ode.odeint_adjoint(y0, t)              # uses func.params
+    sol = ode.odeint_adjoint(y0, t, params=p)    # functional/differentiable
+
+The functional form is jit-compatible and differentiable: wrap it in
+``jax.grad`` over ``params``/``y0`` and the hand-written adjoint runs —
+replacing the torch ``autograd.Function`` bridge
+(/root/reference/pnode/petsc_adjoint.py:903-947).
+
+Runtime options override programmatic choices (setFromOptions-last):
+``-ts_type``, ``-ts_rk_type``, ``-ts_arkimex_type``, ``-ts_adapt_type``,
+``-ts_max_steps``, ``-ts_trajectory_type``, ``-ts_trajectory_solution_only``,
+``-ts_trajectory_max_cps_ram``, ``-snes_type``, ``-snes_rtol``,
+``-snes_max_it``, ``-ksp_rtol``, ``-ksp_atol``, ``-ksp_max_it``,
+``-ksp_gmres_restart`` — the same knobs the reference forwards to PETSc
+(SURVEY.md section 5.6).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .adjoint import TrajectoryConfig, make_odeint
+from .grid import build_time_grid
+from .linsolve import LinearSolveConfig, normalize_linear_solver_name
+from .modules import as_dynamics
+from .newton import NewtonConfig
+from .options import Options
+from .steppers import ARKIMEX, ExplicitRK, ImplicitSolveSetup, Theta
+from .tableaus import THETA_METHODS, get_ark_tableau, get_rk_tableau
+
+_THETA_TS_TYPES = {"beuler": 1.0, "be": 1.0, "cn": 0.5, "theta": 0.5}
+
+
+class ODESolver:
+    """One configured time integrator (the reference's per-ODEPetsc state)."""
+
+    def __init__(self, prefix: str = ""):
+        self.opts = Options(prefix)
+        self._configured = False
+        self._cache = {}
+        self.last_stats = None
+        self.nfe_forward = 0
+        self.nfe_backward = 0
+
+    # ------------------------------------------------------------------
+    def setupTS(
+        self,
+        u_tensor,
+        func,
+        step_size=0.01,
+        enable_adjoint: bool = True,
+        implicit_form: bool = False,
+        use_dlpack: bool = True,  # accepted for API parity; meaningless in JAX
+        method: str = "dopri5",
+        mass=None,
+        imex_form: bool = False,
+        func2=None,
+        batch_size: int = 1,
+        linear_solver: str = "petsc",
+        fixed_jacobian: bool = False,
+        matrixfree_jacobian: bool = True,
+        params=None,
+        params2=None,
+    ):
+        """Configure the integrator (kwarg surface mirrors the reference's
+        setupTS, /root/reference/pnode/petsc_adjoint.py:534-583).
+
+        Extra (JAX-side) kwargs: ``params``/``params2`` override the
+        parameter pytrees carried by ``func``/``func2``.
+        """
+        if imex_form and func2 is None:
+            raise ValueError("func2 must be provided to enable imex_form=True")
+        del use_dlpack  # single-tensor world: no interop staging to configure
+
+        self.template = jnp.asarray(u_tensor)
+        self.dtype = self.template.dtype
+        self.state_shape = self.template.shape
+        self.mass = None if mass is None else jnp.asarray(mass, self.dtype)
+        self.imex = bool(imex_form)
+        self.enable_adjoint = bool(enable_adjoint)
+        self.step_size = step_size
+
+        f_im, p_im = as_dynamics(func, params)
+        if imex_form:
+            f_ex, p_ex = as_dynamics(func2, params2)
+            self.f = (f_im, f_ex)
+            self.params = (p_im, p_ex)
+        else:
+            self.f = f_im
+            self.params = p_im
+
+        # --- option coupling rules (petsc_adjoint.py:590-594) -------------
+        linear_solver = self.opts.get_string("pnode_linear_solver", linear_solver)
+        if linear_solver in ("petsc", "gmres"):
+            matrixfree_jacobian = True
+        if fixed_jacobian or linear_solver in ("torch", "direct", "lu"):
+            matrixfree_jacobian = False
+        canonical = normalize_linear_solver_name(linear_solver)
+        if canonical == "block" and not matrixfree_jacobian:
+            kind = "block"
+        elif canonical == "block":
+            # matrix-free block solve: GMRES already exploits the block
+            # structure implicitly (the operator is block-diagonal)
+            kind = "gmres"
+        elif matrixfree_jacobian:
+            kind = "gmres"
+        else:
+            kind = canonical  # "direct"
+
+        self.lin_cfg = LinearSolveConfig(
+            kind=kind,
+            rtol=self.opts.get_real("ksp_rtol", 1e-5),
+            atol=self.opts.get_real("ksp_atol", 0.0),
+            restart=self.opts.get_int("ksp_gmres_restart", 30),
+            max_restarts=max(1, self.opts.get_int("ksp_max_it", 300) // 30),
+            batch_size=int(batch_size),
+            fixed_jacobian=bool(fixed_jacobian),
+        )
+        self.newton_cfg = NewtonConfig(
+            rtol=self.opts.get_real("snes_rtol", 1e-8),
+            atol=self.opts.get_real("snes_atol", 1e-50),
+            stol=self.opts.get_real("snes_stol", 1e-8),
+            max_it=self.opts.get_int("snes_max_it", 50),
+            ksponly=self.opts.get_string("snes_type", "newtonls") == "ksponly",
+        )
+
+        # --- method resolution (setFromOptions-last) -----------------------
+        meth = method
+        ts_type = self.opts.get_string("ts_type")
+        if ts_type is not None:
+            if ts_type == "rk":
+                meth = self.opts.get_string("ts_rk_type", "3bs")
+            elif ts_type in _THETA_TS_TYPES:
+                meth = ts_type
+            elif ts_type == "arkimex":
+                meth = "imex"
+            elif ts_type == "euler":
+                meth = "euler"
+            else:
+                warnings.warn(f"-ts_type {ts_type} not supported; keeping {meth!r}")
+        elif self.opts.has("ts_rk_type"):
+            meth = self.opts.get_string("ts_rk_type")
+        self.method = meth
+
+        # --- trajectory policy ---------------------------------------------
+        traj_kind = "store_all"
+        if self.opts.get_int("ts_trajectory_solution_only", 0):
+            traj_kind = "solution_only"
+        max_cps = self.opts.get_int("ts_trajectory_max_cps_ram", 0)
+        if max_cps and max_cps > 0:
+            traj_kind = "checkpoint"
+        tt = self.opts.get_string("ts_trajectory_type", "memory")
+        if tt not in ("memory", "disk"):
+            warnings.warn(f"-ts_trajectory_type {tt!r} unknown; using memory")
+        elif tt == "disk":
+            warnings.warn(
+                "-ts_trajectory_type disk is not implemented yet; the "
+                "in-memory policy (with -ts_trajectory_max_cps_ram budgeting) "
+                "is used instead"
+            )
+        self.traj = TrajectoryConfig(kind=traj_kind, max_cps=max_cps or 0)
+
+        self.adapt_type = self.opts.get_string("ts_adapt_type", "none")
+        self.max_steps = self.opts.get_int("ts_max_steps", 1_000_000)
+
+        self._cache.clear()
+        self._configured = True
+        # build eagerly so method-resolution warnings surface here (the
+        # reference's silent unknown-method fall-through becomes audible)
+        self._stepper = self._build_stepper()
+        return self
+
+    # ------------------------------------------------------------------
+    def _build_stepper(self):
+        meth = self.method
+        if self.imex or meth == "imex":
+            tab = get_ark_tableau(self.opts.get_string("ts_arkimex_type"))
+            setup = ImplicitSolveSetup(self.lin_cfg, self.newton_cfg)
+            f_im, f_ex = self.f
+            return ARKIMEX(tab, f_im, f_ex, setup, mass=self.mass)
+        if meth in THETA_METHODS or meth in _THETA_TS_TYPES:
+            theta = THETA_METHODS.get(meth, _THETA_TS_TYPES.get(meth))
+            setup = ImplicitSolveSetup(self.lin_cfg, self.newton_cfg)
+            return Theta(theta, self.f, setup, mass=self.mass)
+        tab = get_rk_tableau(meth)
+        if self.mass is not None:
+            raise ValueError(
+                "mass matrices require an implicit method (beuler/cn) — the "
+                "reference has the same constraint (IFunction-based DAEs)"
+            )
+        return ExplicitRK(tab, self.f)
+
+    def _get_solve_fn(self, grid, with_adjoint: bool):
+        key = (grid.n_steps, tuple(int(i) for i in grid.out_idx), with_adjoint)
+        fn = self._cache.get(key)
+        if fn is None:
+            solve = make_odeint(
+                self._stepper, grid, self.traj, with_adjoint=with_adjoint
+            )
+            fn = jax.jit(solve)
+            self._cache[key] = fn
+        return fn
+
+    def _prep_times(self, t):
+        t_np = np.asarray(jax.device_get(t), dtype=np.float64).reshape(-1)
+        if t_np.shape[0] == 1:
+            # single output time: integrate [0, t0], return only the endpoint
+            # (reference: ts.setTime(0); setMaxTime(t[0]) —
+            # petsc_adjoint.py:818-820)
+            t_full = np.array([0.0, float(t_np[0])])
+            return t_full, slice(1, 2)
+        return t_np, slice(None)
+
+    def solve(self, u0, t, params=None, with_adjoint: Optional[bool] = None):
+        """Functional solve: returns (solution, stats); differentiable."""
+        if not self._configured:
+            raise RuntimeError("call setupTS before odeint")
+        if with_adjoint is None:
+            with_adjoint = self.enable_adjoint
+        t_full, sel = self._prep_times(t)
+        grid = build_time_grid(
+            t_full, self.step_size, dtype=self.dtype, max_steps=self.max_steps
+        )
+        fn = self._get_solve_fn(grid, with_adjoint)
+        y0 = jnp.asarray(u0, self.dtype)
+        p = self.params if params is None else params
+        ts = jnp.asarray(grid.ts, self.dtype)
+        dts = jnp.asarray(grid.dts, self.dtype)
+        outputs, stats = fn(y0, p, ts, dts)
+        self.nfe_forward += grid.n_steps * self._stepper.nfe_per_step
+        self.last_stats = stats
+        return outputs[sel], stats
+
+    # -- reference-parity entry points ----------------------------------
+
+    def odeint(self, u0, t, params=None):
+        """Forward solve without adjoint bookkeeping
+        (/root/reference/pnode/petsc_adjoint.py:777)."""
+        sol, _ = self.solve(u0, t, params=params, with_adjoint=False)
+        return sol
+
+    def odeint_adjoint(self, u0, t, params=None):
+        """Forward solve whose gradients run the discrete adjoint
+        (/root/reference/pnode/petsc_adjoint.py:892)."""
+        if not self.enable_adjoint:
+            warnings.warn("odeint_adjoint called with enable_adjoint=False; enabling")
+            self.enable_adjoint = True
+        sol, _ = self.solve(u0, t, params=params, with_adjoint=True)
+        return sol
+
+
+# Reference-compatible alias: `from pnode_tpu.petsc_adjoint import ODEPetsc`
+ODEPnode = ODESolver

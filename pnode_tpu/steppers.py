@@ -1,0 +1,496 @@
+"""Time steppers with stage-exact hand-written discrete adjoints.
+
+TPU-native replacement for PETSc TS + TSAdjoint
+(/root/reference/pnode/petsc_adjoint.py:638-656 selects RK tableaus, TSBE,
+TSCN, TSARKIMEX; TSAdjoint transposes them step-by-step). Each stepper
+provides:
+
+- ``step(t, dt, y, params) -> (y1, aux, stats)``: one step, pure and
+  traceable; ``aux`` holds stage values (the ``-ts_trajectory_solution_only 0``
+  payload: storing it lets the adjoint skip stage recomputation/Newton
+  re-solves, exactly the memory/recompute trade PETSc TSTrajectory exposes).
+- ``step_adj(t, dt, y, params, aux, lam) -> (lam_prev, gparams)``: the exact
+  transpose of the discrete step map. For explicit RK this is the classical
+  transposed-RK recursion evaluated with ``jax.vjp`` per stage; for implicit
+  (theta) and additive (ARK IMEX) methods the implicit stages are transposed
+  via the implicit function theorem: one *transposed* linear solve
+  (sigma*M - gamma*J)^T at the converged stage, which is precisely what
+  TSAdjoint does with the shell-matrix ``multTranspose``
+  (/root/reference/pnode/petsc_adjoint.py:146-196) — except J^T v here is a
+  native ``jax.vjp`` instead of a double-VJP shell.
+
+Derivation of the ARK adjoint (used below): with stages
+``Y_i = y + h sum_{j<i}(aI_ij kI_j + aE_ij kE_j) + h aI_ii fI(Y_i)`` and
+``y1 = y + h sum_i (bI_i kI_i + bE_i kE_i)``, the reverse recursion for
+``xi_i = dL/dG_i`` (G_i the explicit part of the stage equation) is::
+
+    u_i  = h (bI_i lam + sum_{m>i} aI_mi xi_m)      # covector into kI_i
+    uh_i = h (bE_i lam + sum_{m>i} aE_mi xi_m)      # covector into kE_i
+    p_i  = JI_i^T u_i + JE_i^T uh_i
+    xi_i = (I - h aI_ii JI_i)^{-T} p_i              # transposed stage solve
+    grad_thI += fI_th^T (u_i + h aI_ii xi_i);  grad_thE += fE_th^T uh_i
+    lam_prev = lam + sum_i xi_i
+
+The theta method (BE/CN, with optional singular mass matrix for DAEs) is the
+single-stage specialization with residual
+``R(z) = M(z - y) - h[(1-theta) f(t,y) + theta f(t+h,z)]``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .linsolve import LinearSolveConfig, make_stage_solver
+from .misc import tree_add, tree_zeros_like
+from .newton import NewtonConfig, newton_solve
+from .tableaus import ARKTableau, RKTableau
+
+
+class StepStats(NamedTuple):
+    """Per-step solver telemetry (summed over the trajectory by the driver)."""
+
+    newton_iters: jnp.ndarray
+    newton_converged: jnp.ndarray
+
+    @staticmethod
+    def zero():
+        return StepStats(
+            newton_iters=jnp.array(0, jnp.int32),
+            newton_converged=jnp.array(True),
+        )
+
+
+def _mass_apply(mass, v):
+    if mass is None:
+        return v
+    return jnp.einsum("ij,...j->...i", mass, v)
+
+
+def _mass_apply_T(mass, v):
+    if mass is None:
+        return v
+    return jnp.einsum("ji,...j->...i", mass, v)
+
+
+class ExplicitRK:
+    """Tableau-driven explicit RK over arbitrary state shapes.
+
+    Stage loops are unrolled at trace time (s <= 7), letting XLA fuse the
+    stage-combine AXPY chains; dynamics evaluations dominate.
+    """
+
+    def prepare(self, t0, y0, params):
+        """Per-solve setup hook (no-op for explicit methods)."""
+        return self
+
+    def __init__(self, tableau: RKTableau, f: Callable):
+        self.tab = tableau
+        self.f = f  # f(t, y, params) -> dy
+        # stages whose adjoint covector is identically zero can be skipped in
+        # the reverse sweep (e.g. dopri5's FSAL stage has b_i = 0 = a_mi)
+        s = tableau.stages
+        self._adj_active = [
+            bool(tableau.b[i] != 0.0 or np.any(tableau.a[i + 1:, i] != 0.0))
+            for i in range(s)
+        ]
+        self.nfe_per_step = s
+
+    def step(self, t, dt, y, params):
+        tab = self.tab
+        s = tab.stages
+        ks = []
+        for i in range(s):
+            Yi = y
+            for j in range(i):
+                if tab.a[i, j] != 0.0:
+                    Yi = Yi + (dt * tab.a[i, j]) * ks[j]
+            ks.append(self.f(t + tab.c[i] * dt, Yi, params))
+        y1 = y
+        for i in range(s):
+            if tab.b[i] != 0.0:
+                y1 = y1 + (dt * tab.b[i]) * ks[i]
+        aux = jnp.stack(ks)
+        return y1, aux, StepStats.zero()
+
+    def step_embedded(self, t, dt, y, params):
+        """Step + embedded-error estimate (for the adaptive controller)."""
+        y1, aux, stats = self.step(t, dt, y, params)
+        tab = self.tab
+        err = jnp.zeros_like(y)
+        for i in range(tab.stages):
+            d = tab.b[i] - tab.b_err[i]
+            if d != 0.0:
+                err = err + (dt * d) * aux[i]
+        return y1, err, aux, stats
+
+    def _stage_values(self, dt, y, ks):
+        tab = self.tab
+        Ys = []
+        for i in range(tab.stages):
+            Yi = y
+            for j in range(i):
+                if tab.a[i, j] != 0.0:
+                    Yi = Yi + (dt * tab.a[i, j]) * ks[j]
+            Ys.append(Yi)
+        return Ys
+
+    def step_adj(self, t, dt, y, params, aux, lam):
+        tab = self.tab
+        s = tab.stages
+        if aux is None:
+            _, aux, _ = self.step(t, dt, y, params)
+        ks = [aux[i] for i in range(s)]
+        Ys = self._stage_values(dt, y, ks)
+
+        xis: list = [None] * s
+        gp = tree_zeros_like(params)
+        lam_prev = lam
+        for i in range(s - 1, -1, -1):
+            if not self._adj_active[i]:
+                continue
+            u = (dt * tab.b[i]) * lam
+            for m in range(i + 1, s):
+                if tab.a[m, i] != 0.0 and xis[m] is not None:
+                    u = u + (dt * tab.a[m, i]) * xis[m]
+            ti = t + tab.c[i] * dt
+            _, vjp = jax.vjp(lambda yy, pp: self.f(ti, yy, pp), Ys[i], params)
+            dly, dlp = vjp(u)
+            xis[i] = dly
+            gp = tree_add(gp, dlp)
+            lam_prev = lam_prev + dly
+        return lam_prev, gp
+
+
+@dataclass
+class ImplicitSolveSetup:
+    """Static solver configuration shared by theta and ARK steppers."""
+
+    lin_cfg: LinearSolveConfig
+    newton_cfg: NewtonConfig
+    # frozen per-solve Jacobian blocks for dense/block solvers (the
+    # reference's matrixfree_jacobian=False / fixed_jacobian semantics:
+    # jacrev once per odeint, reused for every step —
+    # /root/reference/pnode/petsc_adjoint.py:474-508)
+    frozen_J_blocks: Optional[jnp.ndarray] = None
+    # if True, the adjoint's transposed solves re-linearize at the converged
+    # stage (exact discrete adjoint); if False they reuse frozen_J_blocks as
+    # the reference's dense path does
+    adjoint_exact_jacobian: bool = True
+
+
+class Theta:
+    """Theta method: backward Euler (theta=1, TSBE) / Crank-Nicolson
+    (theta=0.5 endpoint, TSCN), with optional mass matrix for DAEs
+    (/root/reference/pnode/petsc_adjoint.py:426-441 evalIFunction:
+    ``F = M udot - f(t, u)``; pendulum_DAE uses M = diag(1,1,1,1,0))."""
+
+    def __init__(
+        self,
+        theta: float,
+        f: Callable,
+        setup: ImplicitSolveSetup,
+        mass: Optional[jnp.ndarray] = None,
+    ):
+        self.theta = float(theta)
+        self.f = f
+        self.setup = setup
+        self.mass = mass
+        self.nfe_per_step = 2 if self.theta < 1.0 else 1
+
+    def prepare(self, t0, y0, params):
+        """Freeze the dense/block Jacobian at (t0, y0) for this solve.
+
+        Only active with ``fixed_jacobian=True``, replicating the reference's
+        assemble-once-per-odeint semantics
+        (/root/reference/pnode/petsc_adjoint.py:474-508 and the setupTS
+        docstring at :583). Without it, dense/block solvers re-assemble at
+        each Newton iterate — exact Newton, which converges where the
+        reference's frozen-Jacobian modified Newton can stall on stiff
+        problems (a deliberate accuracy upgrade).
+        """
+        from .linsolve import assemble_block_jacobian
+        import copy
+
+        if self.setup.lin_cfg.kind == "gmres" or not self.setup.lin_cfg.fixed_jacobian:
+            return self
+
+        def f_flat(zf):
+            return self.f(t0, zf.reshape(y0.shape), params).reshape(-1)
+
+        J = assemble_block_jacobian(
+            f_flat,
+            y0.reshape(-1),
+            self.setup.lin_cfg.batch_size,
+            shared=self.setup.lin_cfg.kind == "block",
+        )
+        new = copy.copy(self)
+        new.setup = ImplicitSolveSetup(
+            lin_cfg=self.setup.lin_cfg,
+            newton_cfg=self.setup.newton_cfg,
+            frozen_J_blocks=J,
+            adjoint_exact_jacobian=self.setup.adjoint_exact_jacobian,
+        )
+        return new
+
+    def _solver(self, t1, params, gamma, z_flat, shape):
+        def f_flat(zf):
+            return self.f(t1, zf.reshape(shape), params).reshape(-1)
+
+        return make_stage_solver(
+            f_flat,
+            z_flat,
+            self.mass,
+            sigma=1.0,
+            gamma=gamma,
+            cfg=self.setup.lin_cfg,
+            cached_J_blocks=self.setup.frozen_J_blocks,
+        )
+
+    def step(self, t, dt, y, params):
+        th = self.theta
+        t1 = t + dt
+        shape = y.shape
+        f_n = self.f(t, y, params) if th < 1.0 else None
+
+        def residual_flat(z_flat):
+            z = z_flat.reshape(shape)
+            rhs = th * self.f(t1, z, params)
+            if f_n is not None:
+                rhs = rhs + (1.0 - th) * f_n
+            r = _mass_apply(self.mass, z - y) - dt * rhs
+            return r.reshape(-1)
+
+        gamma = dt * th
+        make = lambda zf: self._solver(t1, params, gamma, zf, shape)
+        z_flat, nstats = newton_solve(
+            residual_flat, make, y.reshape(-1), self.setup.newton_cfg
+        )
+        y1 = z_flat.reshape(shape)
+        stats = StepStats(
+            newton_iters=nstats.iters.astype(jnp.int32),
+            newton_converged=nstats.converged,
+        )
+        return y1, y1, stats  # aux = converged stage (the new state)
+
+    def step_adj(self, t, dt, y, params, aux, lam):
+        th = self.theta
+        t1 = t + dt
+        shape = y.shape
+        if aux is None:
+            y1, _, _ = self.step(t, dt, y, params)
+        else:
+            y1 = aux
+
+        # transposed solve (M - dt*theta*J1)^T w = lam at the converged state
+        setup = self.setup
+        frozen = None if setup.adjoint_exact_jacobian else setup.frozen_J_blocks
+
+        def f1_flat(zf):
+            return self.f(t1, zf.reshape(shape), params).reshape(-1)
+
+        solver = make_stage_solver(
+            f1_flat,
+            y1.reshape(-1),
+            self.mass,
+            sigma=1.0,
+            gamma=dt * th,
+            cfg=setup.lin_cfg,
+            cached_J_blocks=frozen,
+        )
+        w = solver.solve_transpose(lam.reshape(-1)).reshape(shape)
+
+        # lam_prev = M^T w + dt (1-theta) J0^T w ; grads via vjps
+        _, vjp1 = jax.vjp(lambda yy, pp: self.f(t1, yy, pp), y1, params)
+        _, gp1 = vjp1((dt * th) * w)
+        lam_prev = _mass_apply_T(self.mass, w)
+        gp = gp1
+        if th < 1.0:
+            _, vjp0 = jax.vjp(lambda yy, pp: self.f(t, yy, pp), y, params)
+            dly0, gp0 = vjp0((dt * (1.0 - th)) * w)
+            lam_prev = lam_prev + dly0
+            gp = tree_add(gp, gp0)
+        return lam_prev, gp
+
+
+class ARKIMEX:
+    """Additive IMEX Runge-Kutta: f_IM treated implicitly (ESDIRK part),
+    f_EX explicitly — the SINODE semi-implicit capability
+    (/root/reference/pnode/petsc_adjoint.py:585-621 imex_form;
+    /root/reference/examples-sinode/Burgers/Burgers.py:170-195).
+
+    params is a 2-tuple (params_im, params_ex); the split-parameter adjoint
+    keeps the two partitions separate (the reference zero-pads the flat
+    vector instead — IJacPShell/RHSJacPShell,
+    /root/reference/pnode/petsc_adjoint.py:279-363 — which a pytree makes
+    unnecessary).
+    """
+
+    def __init__(
+        self,
+        tableau: ARKTableau,
+        f_im: Callable,
+        f_ex: Callable,
+        setup: ImplicitSolveSetup,
+        mass: Optional[jnp.ndarray] = None,
+    ):
+        if mass is not None:
+            raise NotImplementedError(
+                "mass matrices are supported for theta methods (DAEs); the "
+                "reference's ARKIMEX examples are mass-free as well"
+            )
+        self.tab = tableau
+        self.f_im = f_im
+        self.f_ex = f_ex
+        self.setup = setup
+        self.nfe_per_step = 2 * tableau.stages
+
+    def prepare(self, t0, y0, params):
+        """Freeze the dense/block Jacobian of f_IM at (t0, y0) (see Theta)."""
+        from .linsolve import assemble_block_jacobian
+        import copy
+
+        if self.setup.lin_cfg.kind == "gmres" or not self.setup.lin_cfg.fixed_jacobian:
+            return self
+        params_im, _ = params
+
+        def f_flat(zf):
+            return self.f_im(t0, zf.reshape(y0.shape), params_im).reshape(-1)
+
+        J = assemble_block_jacobian(
+            f_flat,
+            y0.reshape(-1),
+            self.setup.lin_cfg.batch_size,
+            shared=self.setup.lin_cfg.kind == "block",
+        )
+        new = copy.copy(self)
+        new.setup = ImplicitSolveSetup(
+            lin_cfg=self.setup.lin_cfg,
+            newton_cfg=self.setup.newton_cfg,
+            frozen_J_blocks=J,
+            adjoint_exact_jacobian=self.setup.adjoint_exact_jacobian,
+        )
+        return new
+
+    def _stage_solver(self, ti, params_im, gamma, z_flat, shape):
+        def f_flat(zf):
+            return self.f_im(ti, zf.reshape(shape), params_im).reshape(-1)
+
+        return make_stage_solver(
+            f_flat,
+            z_flat,
+            None,
+            sigma=1.0,
+            gamma=gamma,
+            cfg=self.setup.lin_cfg,
+            cached_J_blocks=self.setup.frozen_J_blocks,
+        )
+
+    def step(self, t, dt, y, params):
+        params_im, params_ex = params
+        tab = self.tab
+        s = tab.stages
+        shape = y.shape
+        kI, kE, Ys = [], [], []
+        total_newton = jnp.array(0, jnp.int32)
+        all_conv = jnp.array(True)
+        for i in range(s):
+            G = y
+            for j in range(i):
+                if tab.a_im[i, j] != 0.0:
+                    G = G + (dt * tab.a_im[i, j]) * kI[j]
+                if tab.a_ex[i, j] != 0.0:
+                    G = G + (dt * tab.a_ex[i, j]) * kE[j]
+            tiI = t + tab.c_im[i] * dt
+            tiE = t + tab.c_ex[i] * dt
+            gii = tab.a_im[i, i]
+            if gii != 0.0:
+                def residual_flat(z_flat, G=G, tiI=tiI, gii=gii):
+                    z = z_flat.reshape(shape)
+                    r = (z - G) - (dt * gii) * self.f_im(tiI, z, params_im)
+                    return r.reshape(-1)
+
+                make = lambda zf, tiI=tiI, gii=gii: self._stage_solver(
+                    tiI, params_im, dt * gii, zf, shape
+                )
+                z_flat, nstats = newton_solve(
+                    residual_flat, make, G.reshape(-1), self.setup.newton_cfg
+                )
+                Yi = z_flat.reshape(shape)
+                total_newton = total_newton + nstats.iters.astype(jnp.int32)
+                all_conv = jnp.logical_and(all_conv, nstats.converged)
+            else:
+                Yi = G
+            Ys.append(Yi)
+            kI.append(self.f_im(tiI, Yi, params_im))
+            kE.append(self.f_ex(tiE, Yi, params_ex))
+        y1 = y
+        for i in range(s):
+            if tab.b_im[i] != 0.0:
+                y1 = y1 + (dt * tab.b_im[i]) * kI[i]
+            if tab.b_ex[i] != 0.0:
+                y1 = y1 + (dt * tab.b_ex[i]) * kE[i]
+        aux = jnp.stack(Ys)
+        stats = StepStats(newton_iters=total_newton, newton_converged=all_conv)
+        return y1, aux, stats
+
+    def step_adj(self, t, dt, y, params, aux, lam):
+        params_im, params_ex = params
+        tab = self.tab
+        s = tab.stages
+        shape = y.shape
+        if aux is None:
+            _, aux, _ = self.step(t, dt, y, params)
+        Ys = [aux[i] for i in range(s)]
+
+        setup = self.setup
+        frozen = None if setup.adjoint_exact_jacobian else setup.frozen_J_blocks
+        xis: list = [None] * s
+        g_im = tree_zeros_like(params_im)
+        g_ex = tree_zeros_like(params_ex)
+        lam_prev = lam
+        for i in range(s - 1, -1, -1):
+            u = (dt * tab.b_im[i]) * lam
+            uh = (dt * tab.b_ex[i]) * lam
+            for m in range(i + 1, s):
+                if xis[m] is None:
+                    continue
+                if tab.a_im[m, i] != 0.0:
+                    u = u + (dt * tab.a_im[m, i]) * xis[m]
+                if tab.a_ex[m, i] != 0.0:
+                    uh = uh + (dt * tab.a_ex[m, i]) * xis[m]
+            tiI = t + tab.c_im[i] * dt
+            tiE = t + tab.c_ex[i] * dt
+            _, vjpI = jax.vjp(lambda yy, pp: self.f_im(tiI, yy, pp), Ys[i], params_im)
+            _, vjpE = jax.vjp(lambda yy, pp: self.f_ex(tiE, yy, pp), Ys[i], params_ex)
+            dyI, gI = vjpI(u)
+            dyE, gE = vjpE(uh)
+            p = dyI + dyE
+            gii = tab.a_im[i, i]
+            if gii != 0.0:
+                def f_flat(zf, tiI=tiI):
+                    return self.f_im(tiI, zf.reshape(shape), params_im).reshape(-1)
+
+                solver = make_stage_solver(
+                    f_flat,
+                    Ys[i].reshape(-1),
+                    None,
+                    sigma=1.0,
+                    gamma=dt * gii,
+                    cfg=setup.lin_cfg,
+                    cached_J_blocks=frozen,
+                )
+                xi = solver.solve_transpose(p.reshape(-1)).reshape(shape)
+                _, gI2 = vjpI((dt * gii) * xi)
+                gI = tree_add(gI, gI2)
+            else:
+                xi = p
+            xis[i] = xi
+            g_im = tree_add(g_im, gI)
+            g_ex = tree_add(g_ex, gE)
+            lam_prev = lam_prev + xi
+        return lam_prev, (g_im, g_ex)

@@ -1,0 +1,74 @@
+"""Options-database and time-grid unit tests."""
+
+import numpy as np
+import pytest
+
+import pnode_tpu
+from pnode_tpu.grid import build_time_grid
+from pnode_tpu.options import Options
+
+
+def test_options_parse_and_typed_getters():
+    rest = pnode_tpu.init(
+        ["prog", "pos", "-ts_type", "cn", "-ksp_rtol", "1e-8",
+         "-ts_monitor", "-snes_max_it", "25"]
+    )
+    assert rest == ["pos"]
+    o = Options()
+    assert o.get_string("ts_type") == "cn"
+    assert o.get_real("ksp_rtol") == 1e-8
+    assert o.get_int("snes_max_it") == 25
+    assert o.get_bool("ts_monitor") is True
+    assert o.get_bool("nonexistent", False) is False
+
+
+def test_options_prefix_scoping():
+    pnode_tpu.init(["prog", "-pnode_inner_ksp_rtol", "1e-3", "-ksp_rtol", "1e-6"])
+    inner = Options("pnode_inner_")
+    outer = Options()
+    assert inner.get_real("ksp_rtol") == 1e-3
+    assert outer.get_real("ksp_rtol") == 1e-6
+
+
+def test_options_cli_overrides_programmatic():
+    pnode_tpu.init(["prog", "-ts_type", "cn"])
+    pnode_tpu.set_option("ts_type", "rk")  # programmatic default loses
+    assert Options().get_string("ts_type") == "cn"
+
+
+def test_options_left_tracks_unused():
+    pnode_tpu.init(["prog", "-used_flag", "1", "-unused_flag", "2"])
+    Options().get_int("used_flag")
+    assert pnode_tpu.options_left() == ["unused_flag"]
+
+
+def test_grid_scalar_step_matchstep_truncation():
+    g = build_time_grid(np.array([0.0, 1.0]), 0.4)
+    np.testing.assert_allclose(g.dts, [0.4, 0.4, 0.2], rtol=1e-12)
+    assert list(g.out_idx) == [0, 3]
+
+
+def test_grid_step_list_per_interval():
+    t = np.concatenate([[0.0], np.logspace(-5, -3, 3)])
+    sizes = list(np.diff(t))
+    g = build_time_grid(t, sizes)
+    assert g.n_steps == 3
+    np.testing.assert_allclose(g.dts, sizes, rtol=1e-12)
+    assert list(g.out_idx) == [0, 1, 2, 3]
+
+
+def test_grid_list_reuses_last_entry():
+    g = build_time_grid(np.array([0.0, 1.0]), [0.25])
+    assert g.n_steps == 4
+    np.testing.assert_allclose(g.dts, [0.25] * 4)
+
+
+def test_grid_list_mismatch_raises():
+    with pytest.raises(RuntimeError, match="fails to land"):
+        build_time_grid(np.array([0.0, 1.0]), [0.3])
+
+
+def test_grid_multiple_steps_between_outputs():
+    g = build_time_grid(np.array([0.0, 0.3, 1.0]), 0.1)
+    assert list(g.out_idx) == [0, 3, 10]
+    assert g.n_steps == 10
