@@ -1,0 +1,223 @@
+"""KS (Kuramoto-Sivashinsky) SINODE training — the flagship stiff-PDE workload.
+
+Rebuild of /root/reference/examples-sinode/KS/KS.py: learned chaotic-PDE
+dynamics on a 64-point L=22 grid, model choices mlp/snode/imex (KS.py:38-43),
+windowed time minibatches (DistFuncDataset, KS.py:226-255), Adam +
+reduce-on-plateau, best-val checkpointing with --hotstart (KS.py:570-591),
+and flag-selectable numerics::
+
+    python examples/ks.py --pnode_model imex --linear_solver hpddm \
+        --fixed_jacobian -ts_arkimex_type ars122 -snes_type ksponly
+
+Data is self-generated with the spectral ETDRK4 generator (the reference
+loads a non-vendored pickle, KS.py:124).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+from examples.common import (  # noqa: E402
+    init_flags,
+    load_checkpoint,
+    save_checkpoint,
+    to_jax_tree,
+)
+
+parser = argparse.ArgumentParser("KS")
+parser.add_argument("--pnode_model", type=str,
+                    choices=["mlp", "snode", "imex"], default="snode")
+parser.add_argument("--pnode_method", type=str, default="cn")
+parser.add_argument("--normalize", type=str,
+                    choices=["minmax", "mean"], default=None)
+parser.add_argument("--step_size", type=float, default=0.2)
+parser.add_argument("--data_size", type=int, default=2000)
+parser.add_argument("--batch_size", type=int, default=128)
+parser.add_argument("--time_window_size", type=int, default=1)
+parser.add_argument("--time_window_endpoint", action="store_true")
+parser.add_argument("--max_epochs", type=int, default=100)
+parser.add_argument("--validate_freq", type=int, default=1)
+parser.add_argument("--implicit_form", action="store_true")
+parser.add_argument("--double_prec", action="store_true")
+parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--train_dir", type=str, default="./train_results_ks")
+parser.add_argument("--hotstart", action="store_true")
+parser.add_argument("--lr", type=float, default=5e-3)
+parser.add_argument("--linear_solver", type=str,
+                    choices=["petsc", "hpddm", "torch"], default="petsc")
+parser.add_argument("--fixed_jacobian", action="store_true")
+parser.add_argument("--cpu", action="store_true")
+args = init_flags(parser)
+
+import jax
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+if args.double_prec:
+    jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pnode_tpu import FlaxFunc, ODESolver
+from pnode_tpu.data import generate_ks_data
+from pnode_tpu.models import KSFuncEX, KSFuncIM, KSMLPFunc, KSSnodeFunc
+from pnode_tpu.utils import MetricsWriter, RunningAverageMeter
+
+dtype = jnp.float64 if args.double_prec else jnp.float32
+NX, L = 64, 22.0
+
+
+def window_starts(n, W):
+    return np.arange(n - W)
+
+
+def make_batches(u, rng, W, batch_size, endpoint):
+    """Windowed minibatches: y0 = u[i], targets u[i+1..i+W] (or endpoint)."""
+    starts = window_starts(len(u), W)
+    rng.shuffle(starts)
+    n_batches = len(starts) // batch_size
+    for b in range(n_batches):
+        s = starts[b * batch_size:(b + 1) * batch_size]
+        y0 = u[s]
+        if endpoint:
+            tgt = u[s + W][:, None]
+        else:
+            tgt = np.stack([u[s + 1 + j] for j in range(W)], axis=1)
+        yield jnp.asarray(y0, dtype), jnp.asarray(tgt, dtype)
+
+
+def main():
+    rng = np.random.default_rng(args.seed)
+    u_all, dt_data = generate_ks_data(
+        nx=NX, L=L, n_samples=args.data_size, dt_data=args.step_size,
+        cache_dir=os.path.join(args.train_dir, "data"),
+    )
+    if args.normalize == "minmax":
+        lo, hi = u_all.min(), u_all.max()
+        u_all = 2 * (u_all - lo) / (hi - lo) - 1
+    elif args.normalize == "mean":
+        u_all = (u_all - u_all.mean()) / u_all.std()
+    n_train = int(0.8 * len(u_all))
+    u_train, u_val = u_all[:n_train], u_all[n_train:]
+    print(f"KS data: train {u_train.shape}, val {u_val.shape}, dt {dt_data}")
+
+    W = args.time_window_size
+    if args.time_window_endpoint:
+        t_out = jnp.asarray([0.0, W * dt_data])
+    else:
+        t_out = jnp.asarray(np.arange(W + 1) * dt_data)
+
+    key = jax.random.PRNGKey(args.seed)
+    y_tmpl = jnp.zeros((args.batch_size, NX), dtype)
+    ode = ODESolver()
+    if args.pnode_model == "imex":
+        im, ex = KSFuncIM(nx=NX, L=L), KSFuncEX(nx=NX)
+        vim = to_jax_tree(im.init(key, 0.0, y_tmpl), dtype)
+        vex = to_jax_tree(ex.init(key, 0.0, y_tmpl), dtype)
+        params = (vim, vex)
+        ode.setupTS(
+            y_tmpl, FlaxFunc(im, vim), step_size=args.step_size, method="imex",
+            imex_form=True, implicit_form=True, func2=FlaxFunc(ex, vex),
+            linear_solver=args.linear_solver, fixed_jacobian=args.fixed_jacobian,
+            batch_size=args.batch_size,
+        )
+    else:
+        mod = (
+            KSSnodeFunc(nx=NX, L=L) if args.pnode_model == "snode"
+            else KSMLPFunc(nx=NX)
+        )
+        params = to_jax_tree(mod.init(key, 0.0, y_tmpl), dtype)
+        ode.setupTS(
+            y_tmpl, FlaxFunc(mod, params), step_size=args.step_size,
+            method=args.pnode_method,
+            implicit_form=args.implicit_form
+            or args.pnode_method in ("cn", "beuler"),
+            linear_solver=args.linear_solver, fixed_jacobian=args.fixed_jacobian,
+            batch_size=args.batch_size,
+        )
+
+    sched = optax.contrib.reduce_on_plateau(
+        factor=0.5, patience=10, cooldown=0, accumulation_size=1
+    )
+    opt = optax.chain(optax.adam(args.lr), sched)
+    opt_state = opt.init(params)
+
+    start_epoch, best_val = 0, float("inf")
+    ckpt_path = os.path.join(args.train_dir, f"best_{args.pnode_model}.ckpt")
+    if args.hotstart and os.path.exists(ckpt_path):
+        ck = load_checkpoint(ckpt_path)
+        if ck.get("normalize") != args.normalize:
+            raise RuntimeError(
+                "checkpoint normalization mismatch (the reference guards the "
+                "same way, ROBER.py:411-416)"
+            )
+        params = to_jax_tree(ck["params"], dtype)
+        start_epoch = ck["epoch"] + 1
+        best_val = ck["best_val"]
+        print(f"hotstart from epoch {start_epoch} (best val {best_val:.6e})")
+
+    @jax.jit
+    def train_step(p, opt_state, y0, tgt):
+        def loss_fn(pp):
+            pred = ode.odeint_adjoint(y0, t_out, params=pp)
+            # pred[0] is y0 itself; targets align with pred[1:]
+            return jnp.mean((jnp.swapaxes(pred[1:], 0, 1) - tgt) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = opt.update(g, opt_state, value=loss)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    @jax.jit
+    def val_loss_fn(p, y0, tgt):
+        pred, _ = ode.solve(y0, t_out, params=p, with_adjoint=False)
+        return jnp.mean((jnp.swapaxes(pred[1:], 0, 1) - tgt) ** 2)
+
+    writer = MetricsWriter(args.train_dir)
+    loss_meter = RunningAverageMeter(0.97)
+    step = 0
+    for epoch in range(start_epoch, args.max_epochs):
+        t0 = time.time()
+        for y0, tgt in make_batches(
+            u_train, rng, W, args.batch_size, args.time_window_endpoint
+        ):
+            params, opt_state, loss = train_step(params, opt_state, y0, tgt)
+            loss_meter.update(float(loss))
+            writer.add_scalar("Train/Loss", float(loss), step)
+            step += 1
+        if epoch % args.validate_freq == 0:
+            # single full-validation batch, like the reference's
+            # len(val)-window loader (KS.py:200-210)
+            val_bs = len(u_val) - W
+            vlosses = [
+                float(val_loss_fn(params, y0, tgt))
+                for y0, tgt in make_batches(
+                    u_val, np.random.default_rng(0), W, val_bs,
+                    args.time_window_endpoint,
+                )
+            ]
+            vl = float(np.mean(vlosses)) if vlosses else float("nan")
+            writer.add_scalar("Val/Loss", vl, step)
+            print(
+                f"Epoch {epoch:04d} | Time {time.time()-t0:.2f}s | "
+                f"Train {loss_meter.avg:.6e} | Val {vl:.6e} | "
+                f"NFE-F {ode.nfe_forward}"
+            )
+            if vl < best_val:
+                best_val = vl
+                save_checkpoint(ckpt_path, {
+                    "epoch": epoch, "params": params, "best_val": best_val,
+                    "normalize": args.normalize,
+                })
+    writer.close()
+    return best_val
+
+
+if __name__ == "__main__":
+    bv = main()
+    print(f"best val loss {bv:.6e}")

@@ -145,8 +145,17 @@ class LinearSolveConfig:
     atol: float = 0.0
     restart: int = 30
     max_restarts: int = 10
-    batch_size: int = 1
+    # block size d of the block-diagonal batch structure (state elements per
+    # batch sample); 0 means "whole system is one block". The batch count is
+    # derived from the actual state size, so one config serves any batch.
+    block_size: int = 0
     fixed_jacobian: bool = False
+
+    def blocks_of(self, n: int) -> tuple:
+        d = self.block_size if self.block_size > 0 else n
+        if n % d != 0:
+            raise ValueError(f"state size {n} not divisible by block size {d}")
+        return n // d, d
 
 
 def normalize_linear_solver_name(name: str) -> str:
@@ -166,7 +175,7 @@ def normalize_linear_solver_name(name: str) -> str:
     return aliases[name]
 
 
-def assemble_block_jacobian(f_flat, y_flat, batch_size: int, shared: bool):
+def assemble_block_jacobian(f_flat, y_flat, cfg: "LinearSolveConfig", shared: bool):
     """Dense Jacobian(s) of the flat vector field, exploiting batch structure.
 
     f_flat: flat -> flat vector field (already has t bound).
@@ -176,10 +185,10 @@ def assemble_block_jacobian(f_flat, y_flat, batch_size: int, shared: bool):
     ``jacrev(funcIM)(t, u[0:1])``).
     """
     n = y_flat.shape[0]
+    batch_size, d = cfg.blocks_of(n)
     if batch_size <= 1:
         J = jax.jacfwd(f_flat)(y_flat)
         return J[None, :, :]
-    d = n // batch_size
     rows = y_flat.reshape(batch_size, d)
 
     def f_row(row, full_rows, idx):
@@ -205,7 +214,7 @@ class DenseStageSolver:
     once, ``lu_solve`` per apply, transpose via ``adjoint=True``).
     """
 
-    def __init__(self, J_blocks, mass_blocks, sigma, gamma, batch_size, n):
+    def __init__(self, J_blocks, mass_blocks, sigma, gamma, n):
         # op = sigma*M - gamma*J per block
         d = J_blocks.shape[-1]
         eye = jnp.eye(d, dtype=J_blocks.dtype)
@@ -213,12 +222,12 @@ class DenseStageSolver:
         op = sigma * M - gamma * J_blocks
         self._lu, self._piv = jax.vmap(jax.scipy.linalg.lu_factor)(op)
         self._shared = op.shape[0] == 1
-        self._batch = batch_size
+        self._batch = n // d
         self._n = n
         self._d = d
 
     def _solve(self, rhs_flat, trans):
-        r = rhs_flat.reshape(self._batch if self._batch > 1 else 1, self._d)
+        r = rhs_flat.reshape(self._batch, self._d)
         if self._shared:
             x = jax.scipy.linalg.lu_solve(
                 (self._lu[0], self._piv[0]), r.T, trans=trans
@@ -310,8 +319,7 @@ def make_stage_solver(
         if mass_flat is None:
             mass_mv = mass_rmv = None
         else:
-            batch = max(cfg.batch_size, 1)
-            d = n // batch
+            batch, d = cfg.blocks_of(n)
 
             def mass_mv(v):
                 return (v.reshape(batch, d) @ mass_flat.T).reshape(-1)
@@ -325,6 +333,6 @@ def make_stage_solver(
     if cached_J_blocks is not None:
         J_blocks = cached_J_blocks
     else:
-        J_blocks = assemble_block_jacobian(f_flat, y_flat, cfg.batch_size, shared)
+        J_blocks = assemble_block_jacobian(f_flat, y_flat, cfg, shared)
     mass_blocks = None if mass_flat is None else mass_flat[None]
-    return DenseStageSolver(J_blocks, mass_blocks, sigma, gamma, cfg.batch_size, n)
+    return DenseStageSolver(J_blocks, mass_blocks, sigma, gamma, n)

@@ -1,0 +1,193 @@
+"""SINODE PDE model zoo (flax): learned stiff-PDE dynamics for Burgers & KS.
+
+TPU-native equivalents of the reference's semi-implicit models:
+
+- Burgers: fixed 3-point circular Laplacian implicit part
+  (alpha/dx^2 [1,-2,1], /root/reference/examples-sinode/Burgers/Burgers.py:170-195
+  ODEFuncIM) + learned ReLU stack explicit part (ODEFuncEX, :134-166).
+- KS: fixed/learnable 5-point circular stencil implicit part
+  (-d4/dx^4 - d2/dx^2, /root/reference/examples-sinode/KS/models/imex.py:6-43)
+  + learned ReLU MLP explicit part (imex.py:47-80 ODEFuncEX returns -F(y));
+  plus the "snode" (conv - MLP, models/snode.py) and "mlp"
+  (sigmoid MLP, models/mlp.py) single-function variants.
+
+Circular convolutions are expressed as k static `jnp.roll` AXPYs — XLA fuses
+them into one VPU pass over the (batch, nx) block, which beats a length-3/5
+conv1d dispatch on TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def ks_fixed_kernel(dx: float) -> np.ndarray:
+    """5-point stencil of -(d^4/dx^4) - (d^2/dx^2) (KS linear operator),
+    matching /root/reference/examples-sinode/KS/models/imex.py:21-31."""
+    return np.array(
+        [
+            -1.0 / dx**4,
+            4.0 / dx**4 - 1.0 / dx**2,
+            -6.0 / dx**4 + 2.0 / dx**2,
+            4.0 / dx**4 - 1.0 / dx**2,
+            -1.0 / dx**4,
+        ]
+    )
+
+
+def burgers_fixed_kernel(dx: float, alpha: float = 8e-4) -> np.ndarray:
+    """3-point stencil of alpha d^2/dx^2 (viscous term), matching
+    /root/reference/examples-sinode/Burgers/Burgers.py:181-184."""
+    return np.array([alpha / dx**2, -2.0 * alpha / dx**2, alpha / dx**2])
+
+
+def circular_stencil_apply(y: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Apply a periodic cross-correlation stencil along the last axis.
+
+    out[i] = sum_j kernel[j] * y[(i + j - k//2) mod N]  (torch conv1d with
+    circular "same" padding). Unrolled as k rolls for XLA fusion.
+    """
+    k = kernel.shape[0]
+    half = k // 2
+    out = kernel[0] * jnp.roll(y, half, axis=-1)
+    for j in range(1, k):
+        out = out + kernel[j] * jnp.roll(y, half - j, axis=-1)
+    return out
+
+
+class CircularConv1D(nn.Module):
+    """Single-channel circular conv (no bias); optionally a fixed stencil.
+
+    fixed_kernel given -> non-trainable constant (the reference marks the
+    torch parameter requires_grad=False); otherwise initialized
+    U(-sqrt(1/k), sqrt(1/k)) like torch's Conv1d default.
+    """
+
+    kernel_size: int = 5
+    fixed_kernel: Optional[tuple] = None  # hashable static field
+
+    @nn.compact
+    def __call__(self, y):
+        if self.fixed_kernel is not None:
+            kernel = jnp.asarray(np.asarray(self.fixed_kernel), y.dtype)
+        else:
+            bound = math.sqrt(1.0 / self.kernel_size)
+            kernel = self.param(
+                "kernel",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, minval=-bound, maxval=bound
+                ),
+                (self.kernel_size,),
+            ).astype(y.dtype)
+        return circular_stencil_apply(y, kernel)
+
+
+class StackedMLP(nn.Module):
+    """Dense stack with configurable activation and init std (the reference
+    initializes N(0, std) weights, zero bias — e.g. imex.py:56-58)."""
+
+    features: Sequence[int]
+    activation: Callable = nn.relu
+    w_std: float = 0.01
+    final_activation: bool = False
+
+    @nn.compact
+    def __call__(self, y):
+        h = y
+        n = len(self.features)
+        for i, width in enumerate(self.features):
+            h = nn.Dense(
+                width,
+                kernel_init=nn.initializers.normal(stddev=self.w_std),
+                bias_init=nn.initializers.zeros,
+            )(h)
+            if i < n - 1 or self.final_activation:
+                h = self.activation(h)
+        return h
+
+
+class KSFuncIM(nn.Module):
+    """KS implicit part: 5-point circular stencil (fixed or learnable)."""
+
+    nx: int = 64
+    L: float = 22.0
+    fixed_linear: bool = True
+
+    @nn.compact
+    def __call__(self, t, y):
+        dx = self.L / self.nx
+        fixed = tuple(ks_fixed_kernel(dx)) if self.fixed_linear else None
+        return CircularConv1D(kernel_size=5, fixed_kernel=fixed)(y)
+
+
+class KSFuncEX(nn.Module):
+    """KS explicit part: -MLP(y), hidden 104, ReLU (imex.py ODEFuncEX)."""
+
+    nx: int = 64
+    hidden: int = 104
+
+    @nn.compact
+    def __call__(self, t, y):
+        feats = (self.hidden,) * 4 + (self.nx,)
+        return -StackedMLP(features=feats, activation=nn.relu, w_std=0.01)(y)
+
+
+class KSSnodeFunc(nn.Module):
+    """KS "snode" single function: conv(y) - MLP(y) (models/snode.py)."""
+
+    nx: int = 64
+    L: float = 22.0
+    hidden: int = 200
+    fixed_linear: bool = True
+
+    @nn.compact
+    def __call__(self, t, y):
+        dx = self.L / self.nx
+        fixed = tuple(ks_fixed_kernel(dx)) if self.fixed_linear else None
+        lin = CircularConv1D(kernel_size=5, fixed_kernel=fixed)(y)
+        feats = (self.hidden,) * 4 + (self.nx,)
+        return lin - StackedMLP(features=feats, activation=nn.relu, w_std=0.01)(y)
+
+
+class KSMLPFunc(nn.Module):
+    """KS "mlp" single function: sigmoid MLP (models/mlp.py)."""
+
+    nx: int = 64
+    hidden: int = 104
+
+    @nn.compact
+    def __call__(self, t, y):
+        feats = (self.hidden,) * 4 + (self.nx,)
+        return StackedMLP(features=feats, activation=nn.sigmoid, w_std=0.01)(y)
+
+
+class BurgersFuncIM(nn.Module):
+    """Burgers implicit part: fixed circular Laplacian alpha d2/dx2."""
+
+    nx: int = 512
+    alpha: float = 8e-4
+
+    @nn.compact
+    def __call__(self, t, y):
+        dx = 1.0 / self.nx
+        fixed = tuple(burgers_fixed_kernel(dx, self.alpha))
+        return CircularConv1D(kernel_size=3, fixed_kernel=fixed)(y)
+
+
+class BurgersFuncEX(nn.Module):
+    """Burgers explicit part: ReLU stack N -> 9N/8 x4 -> N, init N(0, 0.1)
+    (Burgers.py:137-160)."""
+
+    nx: int = 512
+
+    @nn.compact
+    def __call__(self, t, y):
+        w = self.nx * 9 // 8
+        feats = (w, w, w, w, self.nx)
+        return StackedMLP(features=feats, activation=nn.relu, w_std=0.1)(y)

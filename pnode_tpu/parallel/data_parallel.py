@@ -1,0 +1,108 @@
+"""Batch-axis data parallelism over a TPU device mesh.
+
+The reference's distribution story is PETSc/MPI held deliberately rank-local:
+the TS solver lives on COMM_SELF (/root/reference/pnode/petsc_adjoint.py:367),
+i.e. each rank integrates its own batch independently and nothing is
+communicated inside the solve. The TPU-native equivalent keeps exactly that
+structure — the ODE system is block-diagonal over the batch (which is what
+the reference's HPDDM block solve exploits, petsc_adjoint.py:690-705) — so:
+
+- the batch axis is sharded over the mesh's "dp" axis (ICI within a slice,
+  DCN across hosts when the mesh spans hosts);
+- the entire forward solve + discrete adjoint runs *locally* per device
+  under ``shard_map`` with zero collectives in the hot loop;
+- a single ``lax.pmean`` reduces loss and parameter gradients at the end —
+  the only ICI traffic per training step.
+
+This is the speed-of-light communication pattern for batch-parallel neural
+ODE training: compute scales linearly, comms are one gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("dp",),
+    devices=None,
+) -> Mesh:
+    """1-D (or reshaped) mesh over available devices; default all of them."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} "
+                "available (set --xla_force_host_platform_device_count for "
+                "virtual CPU meshes)"
+            )
+        devices = devices[:n_devices]
+    arr = np.array(devices)
+    if len(axis_names) > 1:
+        # split evenly: leading axis gets all devices unless reshaped upstream
+        raise ValueError("pass a pre-shaped device array for multi-axis meshes")
+    return Mesh(arr, axis_names)
+
+
+def shard_batch(x, mesh: Mesh, axis: str = "dp"):
+    """Place array(s) with the leading (batch) dim sharded over ``axis``."""
+
+    def _shard(a):
+        spec = P(axis, *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(_shard, x)
+
+
+def replicate(x, mesh: Mesh):
+    """Replicate array(s) across the mesh (parameters, optimizer state)."""
+
+    def _rep(a):
+        return jax.device_put(a, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(_rep, x)
+
+
+def dp_value_and_grad(
+    loss_fn: Callable,
+    mesh: Mesh,
+    axis: str = "dp",
+):
+    """Data-parallel value_and_grad: loss_fn(params, batch) -> scalar mean.
+
+    Returns fn(params, sharded_batch) -> (loss, grads) where the loss/grad
+    are global batch means. The solve runs per-device on the local shard
+    (no collectives inside); one pmean pair at the end.
+    """
+
+    local_vg = jax.value_and_grad(loss_fn)
+
+    def _local(params, batch):
+        loss, grads = local_vg(params, batch)
+        loss = lax.pmean(loss, axis)
+        grads = jax.tree_util.tree_map(lambda g: lax.pmean(g, axis), grads)
+        return loss, grads
+
+    batch_spec = P(axis)
+
+    def wrapped(params, batch):
+        in_specs = (
+            jax.tree_util.tree_map(lambda _: P(), params),
+            jax.tree_util.tree_map(lambda _: batch_spec, batch),
+        )
+        out_specs = (P(), jax.tree_util.tree_map(lambda _: P(), params))
+        return jax.shard_map(
+            _local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )(params, batch)
+
+    return wrapped

@@ -122,13 +122,18 @@ class ODESolver:
         else:
             kind = canonical  # "direct"
 
+        n_tmpl = int(self.template.size)
+        if n_tmpl % int(batch_size) != 0:
+            raise ValueError(
+                f"batch_size {batch_size} does not divide state size {n_tmpl}"
+            )
         self.lin_cfg = LinearSolveConfig(
             kind=kind,
             rtol=self.opts.get_real("ksp_rtol", 1e-5),
             atol=self.opts.get_real("ksp_atol", 0.0),
             restart=self.opts.get_int("ksp_gmres_restart", 30),
             max_restarts=max(1, self.opts.get_int("ksp_max_it", 300) // 30),
-            batch_size=int(batch_size),
+            block_size=n_tmpl // int(batch_size),
             fixed_jacobian=bool(fixed_jacobian),
         )
         self.newton_cfg = NewtonConfig(
@@ -217,6 +222,13 @@ class ODESolver:
         return fn
 
     def _prep_times(self, t):
+        if isinstance(t, jax.core.Tracer):
+            raise TypeError(
+                "output times `t` must be concrete (they define the static "
+                "step schedule, like PETSc's TimeSpan). Close over a fixed "
+                "`t` inside jitted functions instead of passing it as a "
+                "traced argument; the solve itself is fully jittable."
+            )
         t_np = np.asarray(jax.device_get(t), dtype=np.float64).reshape(-1)
         if t_np.shape[0] == 1:
             # single output time: integrate [0, t0], return only the endpoint

@@ -225,7 +225,7 @@ class Theta:
         J = assemble_block_jacobian(
             f_flat,
             y0.reshape(-1),
-            self.setup.lin_cfg.batch_size,
+            self.setup.lin_cfg,
             shared=self.setup.lin_cfg.kind == "block",
         )
         new = copy.copy(self)
@@ -364,7 +364,7 @@ class ARKIMEX:
         J = assemble_block_jacobian(
             f_flat,
             y0.reshape(-1),
-            self.setup.lin_cfg.batch_size,
+            self.setup.lin_cfg,
             shared=self.setup.lin_cfg.kind == "block",
         )
         new = copy.copy(self)
