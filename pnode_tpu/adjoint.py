@@ -50,8 +50,8 @@ from .steppers import StepStats
 class TrajectoryConfig:
     """Static trajectory policy (from -ts_trajectory_* flags)."""
 
-    kind: str = "store_all"  # store_all | solution_only | checkpoint
-    max_cps: int = 0          # used when kind == "checkpoint"
+    kind: str = "store_all"  # store_all | solution_only | checkpoint | revolve
+    max_cps: int = 0          # used when kind is "checkpoint" or "revolve"
 
 
 class SolveStats(NamedTuple):
@@ -78,6 +78,15 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
     n_steps = int(grid.n_steps)
     out_idx = np.asarray(grid.out_idx)
     store_aux = traj.kind == "store_all"
+
+    # static segment geometry for the uniform-checkpoint policy
+    if traj.kind == "checkpoint" and n_steps > 0:
+        _c = max(1, int(traj.max_cps))
+        _seg_len = max(1, math.ceil(n_steps / _c))
+        _n_seg = math.ceil(n_steps / _seg_len)
+        _pad = _n_seg * _seg_len - n_steps
+    else:
+        _seg_len = _n_seg = _pad = 0
 
     # -- forward primitives ------------------------------------------------
 
@@ -160,12 +169,57 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
         outputs, stats = solve_noadj(y0, params, ts, dts)
         return outputs, stats
 
+    # -- revolve policy: optimal binomial checkpointing ---------------------
+
+    def _revolve_bwd(y0, params, ts, dts, force, lam, gp0):
+        """Execute the static revolve plan (computed by the native planner,
+        pnode_tpu/revolve.py): stores <= c+1 states, replays segments with
+        the provably minimal number of forward re-steps."""
+        from . import revolve as rv
+
+        stp = stepper.prepare(ts[0], y0, params)
+        plan = rv.revolve_plan(n_steps, max(1, int(traj.max_cps)))
+        store = {0: y0}
+        cursor_node, cursor_state = 0, y0
+        gp = gp0
+
+        def advance(state, a, b):
+            if b - a == 1:
+                y1, _, _ = stp.step(ts[a], dts[a], state, params)
+                return y1
+
+            def body(y, x):
+                t, dt = x
+                y1, _, _ = stp.step(t, dt, y, params)
+                return y1, None
+
+            out, _ = lax.scan(body, state, (ts[a:b], dts[a:b]))
+            return out
+
+        for op, k in plan:
+            if op == rv.RESTORE:
+                cursor_node, cursor_state = k, store[k]
+            elif op == rv.ADVANCE:
+                cursor_state = advance(cursor_state, cursor_node, k)
+                cursor_node = k
+            elif op == rv.STORE:
+                store[k] = cursor_state
+            elif op == rv.REVERSE:
+                lam_new, gstep = stp.step_adj(
+                    ts[k], dts[k], cursor_state, params, None, lam
+                )
+                lam = lam_new + force[k]
+                gp = tree_add(gp, gstep)
+            elif op == rv.DROP:
+                store.pop(k, None)
+        return lam, gp
+
     def solve_fwd(y0, params, ts, dts):
+        if traj.kind == "revolve" and n_steps > 0:
+            outputs, stats = solve_noadj(y0, params, ts, dts)
+            return (outputs, stats), (y0, params, ts, dts, None)
         if traj.kind == "checkpoint" and n_steps > 0:
-            c = max(1, int(traj.max_cps))
-            seg_len = max(1, math.ceil(n_steps / c))
-            n_seg = math.ceil(n_steps / seg_len)
-            pad = n_seg * seg_len - n_steps
+            seg_len, n_seg, pad = _seg_len, _n_seg, _pad
             # pad with zero-dt identity steps at the end (harmless: dt=0 makes
             # the step map the identity with zero parameter gradient)
             ts_p = jnp.concatenate([ts, jnp.full((pad,), ts[-1], ts.dtype)])
@@ -206,17 +260,16 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
                 newton_iters=stats.newton_iters.reshape(-1),
                 newton_converged=stats.newton_converged.reshape(-1),
             )
-            res = (y0, params, ts, dts, cps, (n_seg, seg_len, pad))
-            return (outputs, _sum_stats(stats_flat)), res
+            return (outputs, _sum_stats(stats_flat)), (y0, params, ts, dts, cps)
 
         y_final, y_hist, aux_hist, stats = fwd_scan_collect(y0, params, ts, dts)
         outputs = gather_outputs(y0, y_hist, y_final)
-        res = (y0, params, ts, dts, (y_hist, aux_hist), None)
+        res = (y0, params, ts, dts, (y_hist, aux_hist))
         return (outputs, _sum_stats(stats)), res
 
     def solve_bwd(res, cts):
         g_outputs, _ = cts  # stats cotangent ignored (integer telemetry)
-        y0, params, ts, dts, stored, seg_info = res
+        y0, params, ts, dts, stored = res
         state_shape = y0.shape
         dtype = y0.dtype
 
@@ -228,11 +281,16 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
         if n_steps == 0:
             return force[0], gp0, jnp.zeros_like(ts), jnp.zeros_like(dts)
 
-        stp = stepper.prepare(ts[0], y0, params)
         lam = force[n_steps]
 
-        if seg_info is not None:
-            n_seg, seg_len, pad = seg_info
+        if traj.kind == "revolve":
+            lam, gp = _revolve_bwd(y0, params, ts, dts, force, lam, gp0)
+            return lam, gp, jnp.zeros_like(ts), jnp.zeros_like(dts)
+
+        stp = stepper.prepare(ts[0], y0, params)
+
+        if traj.kind == "checkpoint":
+            n_seg, seg_len, pad = _n_seg, _seg_len, _pad
             cps = stored
             ts_p = jnp.concatenate([ts, jnp.full((pad,), ts[-1], ts.dtype)])
             dts_p = jnp.concatenate([dts, jnp.zeros((pad,), dts.dtype)])

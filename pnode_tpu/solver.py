@@ -168,7 +168,10 @@ class ODESolver:
             traj_kind = "solution_only"
         max_cps = self.opts.get_int("ts_trajectory_max_cps_ram", 0)
         if max_cps and max_cps > 0:
-            traj_kind = "checkpoint"
+            # uniform segments by default; "revolve" selects the optimal
+            # binomial schedule from the native planner (csrc/revolve.cpp)
+            sched = self.opts.get_string("ts_trajectory_schedule", "uniform")
+            traj_kind = "revolve" if sched == "revolve" else "checkpoint"
         tt = self.opts.get_string("ts_trajectory_type", "memory")
         if tt not in ("memory", "disk"):
             warnings.warn(f"-ts_trajectory_type {tt!r} unknown; using memory")
@@ -238,6 +241,34 @@ class ODESolver:
             return t_full, slice(1, 2)
         return t_np, slice(None)
 
+    def _get_adaptive_fn(self, t_full, with_adjoint: bool):
+        from .adaptive import AdaptConfig, make_adaptive_odeint
+
+        key = ("adaptive", tuple(float(x) for x in t_full), with_adjoint)
+        fn = self._cache.get(key)
+        if fn is None:
+            tab = getattr(self._stepper, "tab", None)
+            order = getattr(tab, "order", 5) if tab is not None else 2
+            cfg = AdaptConfig(
+                rtol=self.opts.get_real("ts_rtol", 1e-4),
+                atol=self.opts.get_real("ts_atol", 1e-4),
+                max_steps=min(self.max_steps,
+                              self.opts.get_int("ts_adapt_max_steps", 4096)),
+                order=order,
+            )
+            dt0 = (
+                float(self.step_size[0])
+                if isinstance(self.step_size, (list, tuple))
+                else float(self.step_size)
+            )
+            fn = jax.jit(
+                make_adaptive_odeint(
+                    self._stepper, t_full, cfg, dt0, with_adjoint=with_adjoint
+                )
+            )
+            self._cache[key] = fn
+        return fn
+
     def solve(self, u0, t, params=None, with_adjoint: Optional[bool] = None):
         """Functional solve: returns (solution, stats); differentiable."""
         if not self._configured:
@@ -245,6 +276,13 @@ class ODESolver:
         if with_adjoint is None:
             with_adjoint = self.enable_adjoint
         t_full, sel = self._prep_times(t)
+        if self.adapt_type not in (None, "none"):
+            fn = self._get_adaptive_fn(t_full, with_adjoint)
+            y0 = jnp.asarray(u0, self.dtype)
+            p = self.params if params is None else params
+            outputs, stats = fn(y0, p)
+            self.last_stats = stats
+            return outputs[sel], stats
         grid = build_time_grid(
             t_full, self.step_size, dtype=self.dtype, max_steps=self.max_steps
         )

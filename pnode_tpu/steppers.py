@@ -436,7 +436,28 @@ class ARKIMEX:
                 y1 = y1 + (dt * tab.b_ex[i]) * kE[i]
         aux = jnp.stack(Ys)
         stats = StepStats(newton_iters=total_newton, newton_converged=all_conv)
+        self._last_ks = (kI, kE)  # trace-local; used by step_embedded only
         return y1, aux, stats
+
+    def step_embedded(self, t, dt, y, params):
+        """Step + embedded-error estimate (ARK pairs with b_err)."""
+        tab = self.tab
+        if tab.b_im_err is None:
+            raise ValueError(
+                f"ARK tableau {tab.name!r} has no embedded weights; "
+                "-ts_adapt_type basic requires one of 1bee/3/4"
+            )
+        y1, aux, stats = self.step(t, dt, y, params)
+        kI, kE = self._last_ks
+        err = jnp.zeros_like(y)
+        for i in range(tab.stages):
+            dI = tab.b_im[i] - tab.b_im_err[i]
+            dE = tab.b_ex[i] - tab.b_ex_err[i]
+            if dI != 0.0:
+                err = err + (dt * dI) * kI[i]
+            if dE != 0.0:
+                err = err + (dt * dE) * kE[i]
+        return y1, err, aux, stats
 
     def step_adj(self, t, dt, y, params, aux, lam):
         params_im, params_ex = params

@@ -1,0 +1,137 @@
+"""Adaptive stepping (-ts_adapt_type basic): accuracy, landing, adjoint."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pnode_tpu
+from pnode_tpu import Func, ODESolver
+
+
+def f_decay(t, y, p):
+    return p["a"] * y + jnp.sin(t) * p["c"]
+
+
+P = {"a": jnp.array(-0.6), "c": jnp.array(0.3)}
+Y0 = jnp.array([1.0, -0.5])
+
+
+def _exact(t_arr):
+    # integrate very finely with fixed-step dopri5 as reference
+    ode = ODESolver()
+    ode.setupTS(Y0, Func(f_decay, P), step_size=1e-3, method="dopri5",
+                enable_adjoint=False)
+    return ode.odeint(Y0, jnp.asarray(t_arr))
+
+
+def test_adaptive_forward_accuracy_and_landing():
+    pnode_tpu.init(["p", "-ts_adapt_type", "basic", "-ts_rtol", "1e-8",
+                    "-ts_atol", "1e-8"])
+    t = np.array([0.0, 0.7, 1.3, 2.0])
+    ode = ODESolver()
+    ode.setupTS(Y0, Func(f_decay, P), step_size=0.05, method="dopri5",
+                enable_adjoint=False)
+    sol, stats = ode.solve(Y0, jnp.asarray(t), with_adjoint=False)
+    ref = _exact(t)
+    assert bool(stats.completed)
+    np.testing.assert_allclose(sol, ref, rtol=1e-6, atol=1e-8)
+    # adaptivity actually took fewer steps than fixed 0.05 stepping would
+    assert int(stats.accepted) < 2.0 / 0.05
+
+
+def test_adaptive_rejects_then_grows():
+    pnode_tpu.init(["p", "-ts_adapt_type", "basic", "-ts_rtol", "1e-10",
+                    "-ts_atol", "1e-10"])
+    ode = ODESolver()
+    ode.setupTS(Y0, Func(f_decay, P), step_size=1.0, method="bosh3",
+                enable_adjoint=False)
+    sol, stats = ode.solve(Y0, jnp.asarray([0.0, 2.0]), with_adjoint=False)
+    assert bool(stats.completed)
+    assert int(stats.rejected) >= 1  # initial dt=1.0 must be rejected
+    ref = _exact([0.0, 2.0])
+    np.testing.assert_allclose(sol[-1], ref[-1], rtol=1e-6, atol=1e-7)
+
+
+def test_adaptive_adjoint_matches_fixed_step_gradient():
+    """Adaptive-path gradients replay the recorded steps; compare against a
+    tight fixed-step discrete adjoint (values should agree to solver tol)."""
+    pnode_tpu.init(["p", "-ts_adapt_type", "basic", "-ts_rtol", "1e-10",
+                    "-ts_atol", "1e-10"])
+    t = jnp.asarray([0.0, 1.0])
+    ode = ODESolver()
+    ode.setupTS(Y0, Func(f_decay, P), step_size=0.05, method="dopri5",
+                enable_adjoint=True)
+
+    def loss_adaptive(p, y0):
+        sol, _ = ode.solve(y0, t, params=p, with_adjoint=True)
+        return jnp.sum(sol[-1] ** 2)
+
+    g_ad = jax.grad(loss_adaptive, argnums=(0, 1))(P, Y0)
+
+    pnode_tpu.clear_options()
+    ode2 = ODESolver()
+    ode2.setupTS(Y0, Func(f_decay, P), step_size=0.005, method="dopri5",
+                 enable_adjoint=True)
+
+    def loss_fixed(p, y0):
+        sol = ode2.odeint_adjoint(y0, t, params=p)
+        return jnp.sum(sol[-1] ** 2)
+
+    g_fx = jax.grad(loss_fixed, argnums=(0, 1))(P, Y0)
+    np.testing.assert_allclose(g_ad[0]["a"], g_fx[0]["a"], rtol=1e-6)
+    np.testing.assert_allclose(g_ad[0]["c"], g_fx[0]["c"], rtol=1e-6)
+    np.testing.assert_allclose(g_ad[1], g_fx[1], rtol=1e-6)
+
+
+def test_adaptive_adjoint_consistent_with_own_forward_fd():
+    """Gradient of the adaptive solve matches FD of the SAME adaptive solve
+    (dt treated as data: the recorded schedule is replayed, not re-adapted,
+    so use loose FD tolerance)."""
+    pnode_tpu.init(["p", "-ts_adapt_type", "basic", "-ts_rtol", "1e-9",
+                    "-ts_atol", "1e-9"])
+    t = jnp.asarray([0.0, 1.0])
+    ode = ODESolver()
+    ode.setupTS(Y0, Func(f_decay, P), step_size=0.05, method="dopri5",
+                enable_adjoint=True)
+
+    def loss(p):
+        sol, _ = ode.solve(Y0, t, params=p, with_adjoint=True)
+        return jnp.sum(sol[-1] ** 2)
+
+    g = jax.grad(loss)(P)
+    eps = 1e-6
+    for k in ["a", "c"]:
+        pp = dict(P); pp[k] = P[k] + eps
+        pm = dict(P); pm[k] = P[k] - eps
+        fd = (float(loss(pp)) - float(loss(pm))) / (2 * eps)
+        assert float(g[k]) == pytest.approx(fd, rel=1e-4, abs=1e-9)
+
+
+def test_adaptive_imex_ark3():
+    pnode_tpu.init(["p", "-ts_adapt_type", "basic", "-ts_rtol", "1e-7",
+                    "-ts_atol", "1e-7"])
+
+    def f_im(t, y, p):
+        return p["a"] * y
+
+    def f_ex(t, y, p):
+        return p["b"] * y**2
+
+    params = ({"a": jnp.array(-3.0)}, {"b": jnp.array(0.1)})
+    ode = ODESolver()
+    ode.setupTS(Y0, Func(f_im, params[0]), step_size=0.1, method="imex",
+                imex_form=True, implicit_form=True,
+                func2=Func(f_ex, params[1]), enable_adjoint=False)
+    sol, stats = ode.solve(Y0, jnp.asarray([0.0, 1.0]), params=params,
+                           with_adjoint=False)
+    assert bool(stats.completed)
+    # reference: tight fixed-step CN-free comparison via fixed-step ark3
+    pnode_tpu.clear_options()
+    ode2 = ODESolver()
+    ode2.setupTS(Y0, Func(f_im, params[0]), step_size=0.002, method="imex",
+                 imex_form=True, implicit_form=True,
+                 func2=Func(f_ex, params[1]), enable_adjoint=False)
+    ref, _ = ode2.solve(Y0, jnp.asarray([0.0, 1.0]), params=params,
+                        with_adjoint=False)
+    np.testing.assert_allclose(sol[-1], ref[-1], rtol=1e-5, atol=1e-7)

@@ -1,0 +1,104 @@
+"""Revolve schedule planner + revolve-policy adjoint correctness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from functools import lru_cache
+
+import pnode_tpu
+from pnode_tpu import Func, ODESolver
+from pnode_tpu.revolve import (
+    optimal_cost,
+    revolve_plan,
+    using_native,
+    validate_plan,
+)
+
+
+@lru_cache(maxsize=None)
+def _dp(n, c):
+    """Brute-force optimal recompute cost (ground truth)."""
+    if n <= 1:
+        return 0
+    if c == 0:
+        return n * (n - 1) // 2
+    return min(m + _dp(m, c) + _dp(n - m, c - 1) for m in range(1, n))
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 5])
+def test_closed_form_cost_matches_dp(c):
+    for n in range(1, 40):
+        assert optimal_cost(n, c) == _dp(n, c), (n, c)
+
+
+@pytest.mark.parametrize("n,c", [(1, 2), (7, 1), (20, 3), (64, 6), (200, 10)])
+def test_plan_is_valid_and_optimal(n, c):
+    plan = revolve_plan(n, c)
+    stats = validate_plan(plan, n, c)
+    assert stats["advance_cost"] == optimal_cost(n, c)
+    assert stats["max_live"] <= c + 1
+
+
+def test_native_library_loaded():
+    # the C++ planner must be built and loadable (make -C csrc)
+    assert using_native()
+
+
+def test_revolve_policy_gradients_match_store_all():
+    def f(t, y, p):
+        return p["a"] * y + p["b"] * jnp.tanh(y)
+
+    P = {"a": jnp.array(-0.4), "b": jnp.array(0.3)}
+    y0 = jnp.array([1.0, -0.7, 0.2])
+    t = jnp.asarray([0.0, 0.5, 1.5])
+
+    def grad_with(flags):
+        pnode_tpu.clear_options()
+        pnode_tpu.init(["p"] + flags)
+        ode = ODESolver()
+        ode.setupTS(y0, Func(f, P), step_size=0.05, method="rk4")
+
+        @jax.jit
+        def loss(p):
+            sol = ode.odeint_adjoint(y0, t, params=p)
+            return jnp.sum(sol[-1] ** 2) + jnp.sum(sol[1] ** 2)
+
+        return jax.grad(loss)(P)
+
+    g_ref = grad_with([])
+    g_rev = grad_with(
+        ["-ts_trajectory_max_cps_ram", "3",
+         "-ts_trajectory_schedule", "revolve"]
+    )
+    np.testing.assert_allclose(g_rev["a"], g_ref["a"], rtol=1e-12)
+    np.testing.assert_allclose(g_rev["b"], g_ref["b"], rtol=1e-12)
+
+
+def test_revolve_policy_implicit_cn():
+    def f(t, y, p):
+        return -p["k"] * y**3
+
+    P = {"k": jnp.array(2.0)}
+    y0 = jnp.array([1.0, 0.5])
+    t = jnp.asarray([0.0, 1.0])
+
+    def grad_with(flags):
+        pnode_tpu.clear_options()
+        pnode_tpu.init(["p"] + flags)
+        ode = ODESolver()
+        ode.setupTS(y0, Func(f, P), step_size=0.1, method="cn",
+                    implicit_form=True)
+
+        def loss(p):
+            sol = ode.odeint_adjoint(y0, t, params=p)
+            return jnp.sum(sol[-1] ** 2)
+
+        return jax.grad(loss)(P)
+
+    g_ref = grad_with([])
+    g_rev = grad_with(
+        ["-ts_trajectory_max_cps_ram", "2",
+         "-ts_trajectory_schedule", "revolve"]
+    )
+    np.testing.assert_allclose(g_rev["k"], g_ref["k"], rtol=1e-9)
