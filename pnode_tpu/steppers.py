@@ -91,6 +91,14 @@ class ExplicitRK:
     def __init__(self, tableau: RKTableau, f: Callable):
         self.tab = tableau
         self.f = f  # f(t, y, params) -> dy
+        # Python-float coefficient views: numpy float64 scalars would promote
+        # fp32 states to fp64 under jax_enable_x64 (weak typing keeps dtypes)
+        self._a = [[float(x) for x in row] for row in tableau.a]
+        self._b = [float(x) for x in tableau.b]
+        self._c = [float(x) for x in tableau.c]
+        self._berr = (
+            None if tableau.b_err is None else [float(x) for x in tableau.b_err]
+        )
         # stages whose adjoint covector is identically zero can be skipped in
         # the reverse sweep (e.g. dopri5's FSAL stage has b_i = 0 = a_mi)
         s = tableau.stages
@@ -101,47 +109,46 @@ class ExplicitRK:
         self.nfe_per_step = s
 
     def step(self, t, dt, y, params):
-        tab = self.tab
-        s = tab.stages
+        a, b, c = self._a, self._b, self._c
+        s = self.tab.stages
         ks = []
         for i in range(s):
             Yi = y
             for j in range(i):
-                if tab.a[i, j] != 0.0:
-                    Yi = Yi + (dt * tab.a[i, j]) * ks[j]
-            ks.append(self.f(t + tab.c[i] * dt, Yi, params))
+                if a[i][j] != 0.0:
+                    Yi = Yi + (dt * a[i][j]) * ks[j]
+            ks.append(self.f(t + c[i] * dt, Yi, params))
         y1 = y
         for i in range(s):
-            if tab.b[i] != 0.0:
-                y1 = y1 + (dt * tab.b[i]) * ks[i]
+            if b[i] != 0.0:
+                y1 = y1 + (dt * b[i]) * ks[i]
         aux = jnp.stack(ks)
         return y1, aux, StepStats.zero()
 
     def step_embedded(self, t, dt, y, params):
         """Step + embedded-error estimate (for the adaptive controller)."""
         y1, aux, stats = self.step(t, dt, y, params)
-        tab = self.tab
         err = jnp.zeros_like(y)
-        for i in range(tab.stages):
-            d = tab.b[i] - tab.b_err[i]
+        for i in range(self.tab.stages):
+            d = self._b[i] - self._berr[i]
             if d != 0.0:
                 err = err + (dt * d) * aux[i]
         return y1, err, aux, stats
 
     def _stage_values(self, dt, y, ks):
-        tab = self.tab
+        a = self._a
         Ys = []
-        for i in range(tab.stages):
+        for i in range(self.tab.stages):
             Yi = y
             for j in range(i):
-                if tab.a[i, j] != 0.0:
-                    Yi = Yi + (dt * tab.a[i, j]) * ks[j]
+                if a[i][j] != 0.0:
+                    Yi = Yi + (dt * a[i][j]) * ks[j]
             Ys.append(Yi)
         return Ys
 
     def step_adj(self, t, dt, y, params, aux, lam):
-        tab = self.tab
-        s = tab.stages
+        a, b, c = self._a, self._b, self._c
+        s = self.tab.stages
         if aux is None:
             _, aux, _ = self.step(t, dt, y, params)
         ks = [aux[i] for i in range(s)]
@@ -153,11 +160,11 @@ class ExplicitRK:
         for i in range(s - 1, -1, -1):
             if not self._adj_active[i]:
                 continue
-            u = (dt * tab.b[i]) * lam
+            u = (dt * b[i]) * lam
             for m in range(i + 1, s):
-                if tab.a[m, i] != 0.0 and xis[m] is not None:
-                    u = u + (dt * tab.a[m, i]) * xis[m]
-            ti = t + tab.c[i] * dt
+                if a[m][i] != 0.0 and xis[m] is not None:
+                    u = u + (dt * a[m][i]) * xis[m]
+            ti = t + c[i] * dt
             _, vjp = jax.vjp(lambda yy, pp: self.f(ti, yy, pp), Ys[i], params)
             dly, dlp = vjp(u)
             xis[i] = dly
@@ -348,6 +355,16 @@ class ARKIMEX:
         self.f_ex = f_ex
         self.setup = setup
         self.nfe_per_step = 2 * tableau.stages
+        self._aI = [[float(x) for x in row] for row in tableau.a_im]
+        self._aE = [[float(x) for x in row] for row in tableau.a_ex]
+        self._bI = [float(x) for x in tableau.b_im]
+        self._bE = [float(x) for x in tableau.b_ex]
+        self._cI = [float(x) for x in tableau.c_im]
+        self._cE = [float(x) for x in tableau.c_ex]
+        self._bIe = (None if tableau.b_im_err is None
+                     else [float(x) for x in tableau.b_im_err])
+        self._bEe = (None if tableau.b_ex_err is None
+                     else [float(x) for x in tableau.b_ex_err])
 
     def prepare(self, t0, y0, params):
         """Freeze the dense/block Jacobian of f_IM at (t0, y0) (see Theta)."""
@@ -392,8 +409,8 @@ class ARKIMEX:
 
     def step(self, t, dt, y, params):
         params_im, params_ex = params
-        tab = self.tab
-        s = tab.stages
+        aI, aE, bI, bE = self._aI, self._aE, self._bI, self._bE
+        s = self.tab.stages
         shape = y.shape
         kI, kE, Ys = [], [], []
         total_newton = jnp.array(0, jnp.int32)
@@ -401,13 +418,13 @@ class ARKIMEX:
         for i in range(s):
             G = y
             for j in range(i):
-                if tab.a_im[i, j] != 0.0:
-                    G = G + (dt * tab.a_im[i, j]) * kI[j]
-                if tab.a_ex[i, j] != 0.0:
-                    G = G + (dt * tab.a_ex[i, j]) * kE[j]
-            tiI = t + tab.c_im[i] * dt
-            tiE = t + tab.c_ex[i] * dt
-            gii = tab.a_im[i, i]
+                if aI[i][j] != 0.0:
+                    G = G + (dt * aI[i][j]) * kI[j]
+                if aE[i][j] != 0.0:
+                    G = G + (dt * aE[i][j]) * kE[j]
+            tiI = t + self._cI[i] * dt
+            tiE = t + self._cE[i] * dt
+            gii = aI[i][i]
             if gii != 0.0:
                 def residual_flat(z_flat, G=G, tiI=tiI, gii=gii):
                     z = z_flat.reshape(shape)
@@ -430,10 +447,10 @@ class ARKIMEX:
             kE.append(self.f_ex(tiE, Yi, params_ex))
         y1 = y
         for i in range(s):
-            if tab.b_im[i] != 0.0:
-                y1 = y1 + (dt * tab.b_im[i]) * kI[i]
-            if tab.b_ex[i] != 0.0:
-                y1 = y1 + (dt * tab.b_ex[i]) * kE[i]
+            if bI[i] != 0.0:
+                y1 = y1 + (dt * bI[i]) * kI[i]
+            if bE[i] != 0.0:
+                y1 = y1 + (dt * bE[i]) * kE[i]
         aux = jnp.stack(Ys)
         stats = StepStats(newton_iters=total_newton, newton_converged=all_conv)
         self._last_ks = (kI, kE)  # trace-local; used by step_embedded only
@@ -451,8 +468,8 @@ class ARKIMEX:
         kI, kE = self._last_ks
         err = jnp.zeros_like(y)
         for i in range(tab.stages):
-            dI = tab.b_im[i] - tab.b_im_err[i]
-            dE = tab.b_ex[i] - tab.b_ex_err[i]
+            dI = self._bI[i] - self._bIe[i]
+            dE = self._bE[i] - self._bEe[i]
             if dI != 0.0:
                 err = err + (dt * dI) * kI[i]
             if dE != 0.0:
@@ -461,8 +478,8 @@ class ARKIMEX:
 
     def step_adj(self, t, dt, y, params, aux, lam):
         params_im, params_ex = params
-        tab = self.tab
-        s = tab.stages
+        aI, aE, bI, bE = self._aI, self._aE, self._bI, self._bE
+        s = self.tab.stages
         shape = y.shape
         if aux is None:
             _, aux, _ = self.step(t, dt, y, params)
@@ -475,23 +492,23 @@ class ARKIMEX:
         g_ex = tree_zeros_like(params_ex)
         lam_prev = lam
         for i in range(s - 1, -1, -1):
-            u = (dt * tab.b_im[i]) * lam
-            uh = (dt * tab.b_ex[i]) * lam
+            u = (dt * bI[i]) * lam
+            uh = (dt * bE[i]) * lam
             for m in range(i + 1, s):
                 if xis[m] is None:
                     continue
-                if tab.a_im[m, i] != 0.0:
-                    u = u + (dt * tab.a_im[m, i]) * xis[m]
-                if tab.a_ex[m, i] != 0.0:
-                    uh = uh + (dt * tab.a_ex[m, i]) * xis[m]
-            tiI = t + tab.c_im[i] * dt
-            tiE = t + tab.c_ex[i] * dt
+                if aI[m][i] != 0.0:
+                    u = u + (dt * aI[m][i]) * xis[m]
+                if aE[m][i] != 0.0:
+                    uh = uh + (dt * aE[m][i]) * xis[m]
+            tiI = t + self._cI[i] * dt
+            tiE = t + self._cE[i] * dt
             _, vjpI = jax.vjp(lambda yy, pp: self.f_im(tiI, yy, pp), Ys[i], params_im)
             _, vjpE = jax.vjp(lambda yy, pp: self.f_ex(tiE, yy, pp), Ys[i], params_ex)
             dyI, gI = vjpI(u)
             dyE, gE = vjpE(uh)
             p = dyI + dyE
-            gii = tab.a_im[i, i]
+            gii = aI[i][i]
             if gii != 0.0:
                 def f_flat(zf, tiI=tiI):
                     return self.f_im(tiI, zf.reshape(shape), params_im).reshape(-1)
