@@ -1,0 +1,139 @@
+"""GRAND node classification — graph neural diffusion training.
+
+Rebuild of /root/reference/examples-sinode/grand/src/grand.py (the driver
+wired for ``--block pnode``, model_configurations.py:38-39): encoder ->
+GRAND diffusion ODE -> decoder on a node-classification task, Adam with
+weight decay, early stopping on validation accuracy, the CSV Recorder for
+sweep aggregation (recorder.py:5-38), and the IMEX identity-diffusion option
+(block_pnode.py ODEFuncIM)::
+
+    python examples/grand_node.py --function transformer --block imex
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+from examples.common import init_flags  # noqa: E402
+
+parser = argparse.ArgumentParser("grand")
+parser.add_argument("--dataset", type=str, default="synthetic")
+parser.add_argument("--function", type=str, default="laplacian",
+                    choices=["laplacian", "transformer"])
+parser.add_argument("--block", type=str, default="pnode",
+                    choices=["pnode", "imex"])
+parser.add_argument("--hidden_dim", type=int, default=64)
+parser.add_argument("--heads", type=int, default=4)
+parser.add_argument("--time", type=float, default=3.0)
+parser.add_argument("--step_size", type=float, default=0.5)
+parser.add_argument("--method", type=str, default="dopri5")
+parser.add_argument("--lr", type=float, default=0.01)
+parser.add_argument("--decay", type=float, default=5e-4)
+parser.add_argument("--epochs", type=int, default=100)
+parser.add_argument("--patience", type=int, default=30)
+parser.add_argument("--input_dropout", type=float, default=0.5)
+parser.add_argument("--dropout", type=float, default=0.5)
+parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--train_dir", type=str, default="./train_results_grand")
+parser.add_argument("--cpu", action="store_true")
+args = init_flags(parser)
+
+import jax
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pnode_tpu.models.grand import GRANDModel, get_rw_adj, synthetic_sbm
+from pnode_tpu.utils import Recorder, makedirs
+
+
+def main():
+    data = synthetic_sbm(seed=args.seed)
+    if args.dataset != "synthetic":
+        print(f"dataset {args.dataset!r} files unavailable offline; using "
+              "the SBM surrogate")
+    n = len(data["y"])
+    graph = get_rw_adj(data["edge_index"], n, self_loop_weight=1.0)
+    n_classes = int(data["y"].max()) + 1
+    print(f"graph: {n} nodes, {graph.edge_index.shape[1]} edges, "
+          f"{n_classes} classes")
+
+    model = GRANDModel(
+        graph, data["x"].shape[1], args.hidden_dim, n_classes,
+        function=args.function, block=args.block, T=args.time,
+        step_size=args.step_size, method=args.method, heads=args.heads,
+        input_dropout=args.input_dropout, dropout=args.dropout,
+    )
+    x = jnp.asarray(data["x"])
+    y = jnp.asarray(data["y"])
+    masks = {k: jnp.asarray(data[k]) for k in
+             ("train_mask", "val_mask", "test_mask")}
+    params = model.init(jax.random.PRNGKey(args.seed), x)
+
+    opt = optax.adamw(args.lr, weight_decay=args.decay)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(p, s, rng):
+        def loss_fn(pp):
+            logits = model.apply(pp, x, training=True, rng=rng)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.sum(ce * masks["train_mask"]) / jnp.sum(
+                masks["train_mask"]
+            )
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(g, s, params=p)
+        return optax.apply_updates(p, updates), s, loss
+
+    @jax.jit
+    def accuracy(p):
+        logits = model.apply(p, x, training=False)
+        pred = jnp.argmax(logits, -1)
+        out = {}
+        for k, m in masks.items():
+            out[k] = jnp.sum((pred == y) * m) / jnp.sum(m)
+        return out
+
+    rec = Recorder()
+    best_val, best_test, patience = 0.0, 0.0, 0
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        params, opt_state, loss = train_step(
+            params, opt_state, jax.random.PRNGKey(epoch)
+        )
+        accs = {k: float(v) for k, v in accuracy(params).items()}
+        if accs["val_mask"] > best_val:
+            best_val, best_test, patience = accs["val_mask"], accs["test_mask"], 0
+        else:
+            patience += 1
+        if epoch % 10 == 0:
+            print(
+                f"Epoch {epoch:03d} | {time.time()-t0:.2f}s | "
+                f"Loss {float(loss):.4f} | train {accs['train_mask']:.3f} | "
+                f"val {accs['val_mask']:.3f} | test {accs['test_mask']:.3f}"
+            )
+        if patience > args.patience:
+            print("early stopping")
+            break
+    rec.record(
+        dataset=args.dataset, function=args.function, block=args.block,
+        hidden=args.hidden_dim, T=args.time, best_val=best_val,
+        best_test=best_test,
+    )
+    makedirs(args.train_dir)
+    rec.save(os.path.join(args.train_dir, "results.csv"))
+    print(f"best val {best_val:.4f} | test at best val {best_test:.4f}")
+    return best_test
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""CIFAR-10 ODE-net training + the memstat benchmark.
+
+Rebuild of /root/reference/examples-pnode/train-Cifar10.py: SqueezeNext with
+ODE blocks (SqNxt-23), SGD + momentum with the reference's piecewise LR
+schedule, per-epoch train/test accuracy, device-memory tracking, and the
+``memstat.txt`` benchmark record (Nt, peak device memory GB, epoch
+wall-time, method — train-Cifar10.py:415-433).
+
+CIFAR-10 binaries are loaded from --data_dir if present (the standard
+cifar-10-batches-py pickles); otherwise a synthetic surrogate with CIFAR
+shapes keeps the pipeline and the benchmark runnable (this environment has
+no network egress)::
+
+    python examples/train_cifar10.py --Nt 2 --method rk4 --epochs 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, ".")
+from examples.common import init_flags, to_jax_tree  # noqa: E402
+
+parser = argparse.ArgumentParser("cifar10-odenet")
+parser.add_argument("--method", type=str, default="rk4")
+parser.add_argument("--Nt", type=int, default=2)
+parser.add_argument("--t1", type=float, default=1.0)
+parser.add_argument("--width_x", type=float, default=1.0)
+parser.add_argument("--epochs", type=int, default=90)
+parser.add_argument("--batch_size", type=int, default=128)
+parser.add_argument("--lr", type=float, default=0.1)
+parser.add_argument("--momentum", type=float, default=0.9)
+parser.add_argument("--weight_decay", type=float, default=5e-4)
+parser.add_argument("--data_dir", type=str, default="./data/cifar-10-batches-py")
+parser.add_argument("--train_dir", type=str, default="./train_results_cifar")
+parser.add_argument("--iters_per_epoch", type=int, default=0)
+parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--cpu", action="store_true")
+args = init_flags(parser)
+
+import jax
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pnode_tpu.models.sqnxt import SqueezeNextODE
+from pnode_tpu.utils import RunningAverageMeter, makedirs
+
+
+def load_cifar10(data_dir):
+    """Standard cifar-10-batches-py pickles; synthetic fallback if absent."""
+    try:
+        xs, ys = [], []
+        for i in range(1, 6):
+            with open(os.path.join(data_dir, f"data_batch_{i}"), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            xs.append(d[b"data"])
+            ys.append(d[b"labels"])
+        with open(os.path.join(data_dir, "test_batch"), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        x_tr = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        y_tr = np.concatenate(ys).astype(np.int32)
+        x_te = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        y_te = np.array(d[b"labels"], np.int32)
+        mean = np.array([0.4914, 0.4822, 0.4465]) * 255
+        std = np.array([0.2023, 0.1994, 0.2010]) * 255
+        norm = lambda x: ((x - mean) / std).astype(np.float32)
+        return norm(x_tr), y_tr, norm(x_te), y_te, False
+    except (FileNotFoundError, OSError):
+        rng = np.random.default_rng(0)
+        n_tr, n_te = 5000, 1000
+        x_tr = rng.normal(size=(n_tr, 32, 32, 3)).astype(np.float32)
+        y_tr = rng.integers(0, 10, n_tr).astype(np.int32)
+        x_te = rng.normal(size=(n_te, 32, 32, 3)).astype(np.float32)
+        y_te = rng.integers(0, 10, n_te).astype(np.int32)
+        # make labels learnable: tint each class's channel means
+        for x, y in ((x_tr, y_tr), (x_te, y_te)):
+            x[..., 0] += 0.3 * (y[:, None, None] % 3)
+            x[..., 1] += 0.3 * (y[:, None, None] // 3)
+        return x_tr, y_tr, x_te, y_te, True
+
+
+def augment(rng, x):
+    """Random crop (pad 4) + horizontal flip, matching the torch transforms."""
+    n = x.shape[0]
+    pad = np.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
+    ox = rng.integers(0, 9, n)
+    oy = rng.integers(0, 9, n)
+    out = np.empty_like(x)
+    flip = rng.random(n) < 0.5
+    for i in range(n):
+        img = pad[i, ox[i]:ox[i] + 32, oy[i]:oy[i] + 32]
+        out[i] = img[:, ::-1] if flip[i] else img
+    return out
+
+
+def main():
+    makedirs(args.train_dir)
+    x_tr, y_tr, x_te, y_te, synthetic = load_cifar10(args.data_dir)
+    if synthetic:
+        print("CIFAR-10 files not found; using the synthetic surrogate")
+    print(f"train {x_tr.shape}, test {x_te.shape}")
+
+    model = SqueezeNextODE(
+        num_classes=10, width_x=args.width_x, method=args.method, Nt=args.Nt,
+        t1=args.t1,
+    )
+    x0 = jnp.asarray(x_tr[: args.batch_size])
+    params = model.init(jax.random.PRNGKey(args.seed), x0)
+    n_params = sum(int(a.size) for a in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params/1e6:.2f}M | NFE per forward: "
+          f"{model.nfe_per_forward}")
+
+    iters_per_epoch = args.iters_per_epoch or max(
+        1, len(x_tr) // args.batch_size
+    )
+    # piecewise LR: the reference's MultiStepLR-style decay
+    sched = optax.piecewise_constant_schedule(
+        args.lr,
+        {30 * iters_per_epoch: 0.1, 60 * iters_per_epoch: 0.1,
+         80 * iters_per_epoch: 0.1},
+    )
+    opt = optax.chain(
+        optax.add_decayed_weights(args.weight_decay),
+        optax.sgd(learning_rate=sched, momentum=args.momentum),
+    )
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(p, s, x, y):
+        def loss_fn(pp):
+            logits = model.apply(pp, x, training=True)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.mean(ce), logits
+
+        (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, s = opt.update(g, s, params=p)
+        acc = jnp.mean(jnp.argmax(logits, -1) == y)
+        return optax.apply_updates(p, updates), s, loss, acc
+
+    @jax.jit
+    def eval_step(p, x, y):
+        logits = model.apply(p, x, training=False)
+        return jnp.mean(jnp.argmax(logits, -1) == y)
+
+    rng = np.random.default_rng(args.seed)
+    loss_meter = RunningAverageMeter(0.97)
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        perm = rng.permutation(len(x_tr))
+        accs = []
+        for it in range(iters_per_epoch):
+            idx = perm[it * args.batch_size:(it + 1) * args.batch_size]
+            if len(idx) < args.batch_size:
+                break
+            xb = augment(rng, x_tr[idx]) if not synthetic else x_tr[idx]
+            params, opt_state, loss, acc = train_step(
+                params, opt_state, jnp.asarray(xb), jnp.asarray(y_tr[idx])
+            )
+            loss_meter.update(float(loss))
+            accs.append(float(acc))
+        epoch_time = time.time() - t0
+
+        te_accs = [
+            float(eval_step(params, jnp.asarray(x_te[i:i + args.batch_size]),
+                            jnp.asarray(y_te[i:i + args.batch_size])))
+            for i in range(0, len(x_te) - args.batch_size + 1, args.batch_size)
+        ]
+        # device memory telemetry (the reference's nvidia-smi / cuda
+        # max_memory_allocated equivalents, train-Cifar10.py:277-295)
+        mem_gb = 0.0
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            mem_gb = stats["peak_bytes_in_use"] / 1e9
+        print(
+            f"Epoch {epoch:03d} | {epoch_time:.1f}s | "
+            f"Loss {loss_meter.avg:.4f} | Train acc {np.mean(accs):.4f} | "
+            f"Test acc {np.mean(te_accs):.4f} | Mem {mem_gb:.2f}GB"
+        )
+        # memstat benchmark record (train-Cifar10.py:415-433)
+        with open(os.path.join(args.train_dir, "memstat.txt"), "a") as f:
+            f.write(
+                f"{args.Nt} {mem_gb:.3f} {epoch_time:.2f} {args.method}\n"
+            )
+    return float(np.mean(te_accs)) if te_accs else 0.0
+
+
+if __name__ == "__main__":
+    acc = main()
+    print(f"final test accuracy {acc:.4f}")

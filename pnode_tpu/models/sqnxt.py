@@ -1,0 +1,217 @@
+"""SqueezeNext ODE-net for CIFAR-10 (flax).
+
+Rebuild of /root/reference/examples-pnode/models/sqnxt_PETSc.py: the
+SqNxt-23 backbone where each stage's residual blocks after the first are
+replaced by ODE blocks integrating the BasicBlock2 dynamics over [0, 1]
+(train-Cifar10.py ODEBlock_PNODE, :104-143).
+
+Norm layers: the reference keeps torch BatchNorm in train mode inside the
+ODE dynamics (batch statistics recomputed at every f evaluation). The pure
+equivalent here is ``BatchStatsNorm`` — normalize by the current batch's
+statistics with learnable affine, no running averages — which keeps the
+dynamics a pure function of (t, y, params) as the scan-compiled solver
+requires. (Eval-time behavior therefore matches train-mode BN; the
+reference's eval-time running-stats BN is a documented deviation.)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class BatchStatsNorm(nn.Module):
+    """Normalize over (batch, H, W) per channel with learnable affine."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return (x - mean) / jnp.sqrt(var + self.eps) * scale + bias
+
+
+def _conv(ch, ksize, stride=1):
+    if isinstance(ksize, int):
+        ksize = (ksize, ksize)
+    return nn.Conv(ch, ksize, strides=(stride, stride), padding="SAME",
+                   use_bias=True)
+
+
+class BasicBlock(nn.Module):
+    """SqueezeNext residual block (sqnxt_PETSc.py BasicBlock, :8-68)."""
+
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        red = 0.5
+        if self.stride == 2:
+            red = 1.0
+        elif self.in_channels > self.out_channels:
+            red = 0.25
+        c1 = int(self.in_channels * red)
+        c2 = int(self.in_channels * red * 0.5)
+
+        h = nn.relu(BatchStatsNorm()(_conv(c1, 1, self.stride)(x)))
+        h = nn.relu(BatchStatsNorm()(_conv(c2, 1)(h)))
+        h = nn.relu(BatchStatsNorm()(_conv(c1, (1, 3))(h)))
+        h = nn.relu(BatchStatsNorm()(_conv(c1, (3, 1))(h)))
+        h = nn.relu(BatchStatsNorm()(_conv(self.out_channels, 1)(h)))
+        if self.stride == 2 or self.in_channels != self.out_channels:
+            sc = nn.relu(BatchStatsNorm()(_conv(self.out_channels, 1,
+                                                self.stride)(x)))
+        else:
+            sc = nn.relu(x)
+        return nn.relu(h + sc)
+
+
+class ODEDynamics(nn.Module):
+    """BasicBlock2: the conv stack without residual, as f(t, y)
+    (sqnxt_PETSc.py BasicBlock2, :71-121)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t, x):
+        c1 = int(self.dim * 0.5)
+        c2 = int(self.dim * 0.25)
+        h = nn.relu(BatchStatsNorm()(_conv(c1, 1)(x)))
+        h = nn.relu(BatchStatsNorm()(_conv(c2, 1)(h)))
+        h = nn.relu(BatchStatsNorm()(_conv(c1, (1, 3))(h)))
+        h = nn.relu(BatchStatsNorm()(_conv(c1, (3, 1))(h)))
+        h = nn.relu(BatchStatsNorm()(_conv(self.dim, 1)(h)))
+        return h
+
+
+class Stem(nn.Module):
+    width_x: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.relu(
+            BatchStatsNorm()(_conv(int(self.width_x * 64), 3)(x))
+        )
+
+
+class Head(nn.Module):
+    width_x: float = 1.0
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(BatchStatsNorm()(_conv(int(self.width_x * 128), 1)(x)))
+        h = nn.avg_pool(h, (4, 4), strides=(4, 4))
+        h = h.reshape(h.shape[0], -1)
+        return nn.Dense(self.num_classes)(h)
+
+
+class SqueezeNextODE:
+    """SqNxt-23 with ODE stages: orchestrates flax pieces + ODE solves.
+
+    Functional API:
+        model = SqueezeNextODE(num_classes=10, method="rk4", Nt=2)
+        params = model.init(key, x)           # list of pytrees
+        logits = model.apply(params, x, training=True)
+    """
+
+    # SqNxt_23: blocks per stage (sqnxt_PETSc.py SqNxt_23_1x: [6,6,8,1])
+    BLOCKS = (6, 6, 8, 1)
+    STAGE_CH = (32, 64, 128, 256)
+    STAGE_STRIDE = (1, 2, 2, 2)
+
+    def __init__(self, num_classes: int = 10, width_x: float = 1.0,
+                 method: str = "rk4", Nt: int = 2, t1: float = 1.0,
+                 enable_adjoint: bool = True):
+        from ..solver import ODESolver
+
+        self.width_x = width_x
+        self.method = method
+        self.step_size = t1 / float(Nt)
+        self.t1 = t1
+        self._ODESolver = ODESolver
+        self.enable_adjoint = enable_adjoint
+
+        self.pieces = [("stem", Stem(width_x))]
+        in_ch = 64
+        for si, (nblocks, ch, stride) in enumerate(
+            zip(self.BLOCKS, self.STAGE_CH, self.STAGE_STRIDE)
+        ):
+            self.pieces.append((
+                "entry",
+                BasicBlock(int(width_x * in_ch), int(width_x * ch), stride),
+            ))
+            for _ in range(nblocks - 1):
+                self.pieces.append(("ode", ODEDynamics(int(width_x * ch))))
+            in_ch = ch
+        self.pieces.append(("head", Head(width_x, num_classes)))
+        self._solvers = {}
+
+    # -- parameter init ---------------------------------------------------
+
+    def init(self, key, x):
+        params = []
+        h = x
+        keys = jax.random.split(key, len(self.pieces))
+        for k, (kind, mod) in zip(keys, self.pieces):
+            if kind == "ode":
+                p = mod.init(k, 0.0, h)
+                params.append(p)
+                # state shape unchanged by the ODE block
+            else:
+                p = mod.init(k, h)
+                params.append(p)
+                h = mod.apply(p, h)
+        return params
+
+    def _ode_solver(self, mod, shape, dtype):
+        key = (id(mod), shape, str(dtype))
+        ode = self._solvers.get(key)
+        if ode is None:
+            ode = self._ODESolver()
+            ode.setupTS(
+                jnp.zeros(shape, dtype),
+                ((lambda t, y, p, m=mod: m.apply(p, t, y)), {}),
+                step_size=self.step_size,
+                method=self.method,
+                enable_adjoint=self.enable_adjoint,
+            )
+            self._solvers[key] = ode
+        return ode
+
+    def apply(self, params, x, training: bool = True):
+        import numpy as np
+
+        h = x
+        t_out = np.array([self.t1])  # single output time (ODEBlock_PNODE:119)
+        for p, (kind, mod) in zip(params, self.pieces):
+            if kind == "ode":
+                ode = self._ode_solver(mod, h.shape, h.dtype)
+                sol, _ = ode.solve(
+                    h, t_out, params=p,
+                    with_adjoint=training and self.enable_adjoint,
+                )
+                h = sol[-1]
+            else:
+                h = mod.apply(p, h)
+        return h
+
+    @property
+    def nfe_per_forward(self):
+        n_ode = sum(1 for kind, _ in self.pieces if kind == "ode")
+        from ..tableaus import get_rk_tableau
+
+        stages = get_rk_tableau(self.method).stages
+        steps = int(round(self.t1 / self.step_size))
+        return n_ode * stages * steps
