@@ -78,6 +78,16 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
     n_steps = int(grid.n_steps)
     out_idx = np.asarray(grid.out_idx)
     store_aux = traj.kind == "store_all"
+    # static fact: uniform step size lets implicit steppers pre-invert their
+    # stage operators once per solve (see ImplicitSolveSetup.solver_cache)
+    uniform_dt = n_steps > 0 and bool(
+        np.allclose(grid.dts, grid.dts[0], rtol=1e-12, atol=0.0)
+    )
+
+    def _prepare(y0, params, ts, dts):
+        return stepper.prepare(
+            ts[0], y0, params, dt0=dts[0] if uniform_dt else None
+        )
 
     # static segment geometry for the uniform-checkpoint policy
     if traj.kind == "checkpoint" and n_steps > 0:
@@ -92,7 +102,7 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
 
     def fwd_scan_collect(y0, params, ts, dts):
         """Forward pass storing per-step state (and aux when configured)."""
-        stp = stepper.prepare(ts[0], y0, params)
+        stp = _prepare(y0, params, ts, dts)
 
         def body(y, x):
             t, dt = x
@@ -122,7 +132,7 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
             return jnp.stack([y0 for _ in out_idx]), zero
         # interior outputs are collected on the fly (no trajectory storage)
         out_nodes = jnp.asarray(out_idx)
-        stp = stepper.prepare(ts[0], y0, params)
+        stp = _prepare(y0, params, ts, dts)
 
         def body2(carry, x):
             y, outputs = carry
@@ -177,7 +187,7 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
         the provably minimal number of forward re-steps."""
         from . import revolve as rv
 
-        stp = stepper.prepare(ts[0], y0, params)
+        stp = _prepare(y0, params, ts, dts)
         plan = rv.revolve_plan(n_steps, max(1, int(traj.max_cps)))
         store = {0: y0}
         cursor_node, cursor_state = 0, y0
@@ -225,7 +235,7 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
             ts_p = jnp.concatenate([ts, jnp.full((pad,), ts[-1], ts.dtype)])
             dts_p = jnp.concatenate([dts, jnp.zeros((pad,), dts.dtype)])
             out_nodes = jnp.asarray(out_idx)
-            stp = stepper.prepare(ts[0], y0, params)
+            stp = _prepare(y0, params, ts, dts)
 
             def seg_body(carry, x):
                 y, outputs = carry
@@ -287,7 +297,7 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
             lam, gp = _revolve_bwd(y0, params, ts, dts, force, lam, gp0)
             return lam, gp, jnp.zeros_like(ts), jnp.zeros_like(dts)
 
-        stp = stepper.prepare(ts[0], y0, params)
+        stp = _prepare(y0, params, ts, dts)
 
         if traj.kind == "checkpoint":
             n_seg, seg_len, pad = _n_seg, _seg_len, _pad

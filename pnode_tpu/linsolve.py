@@ -66,6 +66,10 @@ def gmres(
     (m+1, m) least-squares problem. Early termination happens at cycle
     granularity via ``lax.while_loop``; within a cycle, breakdown lanes are
     masked to no-ops, so static shapes are preserved for the TPU compiler.
+
+    All internal contractions run at HIGHEST matmul precision: the TPU
+    default (bf16 inputs) destroys Krylov orthogonality and stalls
+    convergence — correctness-critical linear algebra must not inherit it.
     """
     n = b.shape[0]
     dtype = b.dtype
@@ -85,16 +89,18 @@ def gmres(
         V = jnp.zeros((m + 1, n), dtype).at[0].set(v0)
         H = jnp.zeros((m + 1, m), dtype)
 
+        hp = jax.lax.Precision.HIGH
+
         def arnoldi(j, carry):
             V, H = carry
             w = matvec(V[j])
             # modified-Gram-Schmidt as two masked full-matrix passes (the
             # second pass restores MGS-level orthogonality — "CGS2")
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            h1 = (V @ w) * mask
-            w = w - V.T @ h1
-            h2 = (V @ w) * mask
-            w = w - V.T @ h2
+            h1 = jnp.matmul(V, w, precision=hp) * mask
+            w = w - jnp.matmul(V.T, h1, precision=hp)
+            h2 = jnp.matmul(V, w, precision=hp) * mask
+            w = w - jnp.matmul(V.T, h2, precision=hp)
             hcol = h1 + h2
             wnorm = jnp.linalg.norm(w)
             vnext, _ = _safe_normalize(w, eps)
@@ -106,7 +112,7 @@ def gmres(
         V, H = lax.fori_loop(0, m, arnoldi, (V, H))
         e1 = jnp.zeros((m + 1,), dtype).at[0].set(beta)
         y, *_ = jnp.linalg.lstsq(H, e1)
-        x_new = x + V[:m].T @ y
+        x_new = x + jnp.matmul(V[:m].T, y, precision=hp)
         return x_new
 
     def cond(state):
@@ -206,29 +212,56 @@ def assemble_block_jacobian(f_flat, y_flat, cfg: "LinearSolveConfig", shared: bo
 
 
 class DenseStageSolver:
-    """LU-factored solve of (sigma*M - gamma*J) per batch block.
+    """Dense solve of (sigma*M - gamma*J) per batch block.
 
-    The factorization is computed once per construction and reused across
-    Newton iterations and (transposed) adjoint solves — the cached-factor
-    strategy of /root/reference/pnode/torch_linearsolve.py:13-21 (``lu_factor``
-    once, ``lu_solve`` per apply, transpose via ``adjoint=True``).
+    Two modes:
+    - LU factorization computed once per construction and reused across
+      Newton iterations and (transposed) adjoint solves — the cached-factor
+      strategy of /root/reference/pnode/torch_linearsolve.py:13-21.
+    - ``use_inverse=True``: explicitly invert the operator once so every
+      subsequent solve is a single (batch, d) @ (d, d) matmul. Triangular
+      LU solves serialize badly on the TPU's systolic array, while the
+      one-time inverse turns the hot loop into pure MXU work — the right
+      trade whenever the operator is reused many times (frozen Jacobian +
+      uniform dt), which is exactly the reference's production stiff-PDE
+      configuration.
     """
 
-    def __init__(self, J_blocks, mass_blocks, sigma, gamma, n):
+    def __init__(self, J_blocks, mass_blocks, sigma, gamma, n,
+                 use_inverse: bool = False):
         # op = sigma*M - gamma*J per block
         d = J_blocks.shape[-1]
         eye = jnp.eye(d, dtype=J_blocks.dtype)
         M = mass_blocks if mass_blocks is not None else eye[None]
         op = sigma * M - gamma * J_blocks
-        self._lu, self._piv = jax.vmap(jax.scipy.linalg.lu_factor)(op)
         self._shared = op.shape[0] == 1
         self._batch = n // d
         self._n = n
         self._d = d
+        self._inv = None
+        if use_inverse:
+            # HIGHEST precision: the TPU bf16 matmul default corrupts the
+            # inverse of moderately conditioned stiff operators
+            with jax.default_matmul_precision("highest"):
+                self._inv = jnp.linalg.inv(op)
+        else:
+            self._lu, self._piv = jax.vmap(jax.scipy.linalg.lu_factor)(op)
 
     def _solve(self, rhs_flat, trans):
         r = rhs_flat.reshape(self._batch, self._d)
-        if self._shared:
+        # HIGH (bf16x3) reaches fp32-level accuracy at half the cost of
+        # HIGHEST; the one-time inverse above uses HIGHEST
+        hp = jax.lax.Precision.HIGH
+        if self._inv is not None:
+            if self._shared:
+                A = self._inv[0]
+                x = jnp.matmul(r, A.T if trans == 0 else A, precision=hp)
+            else:
+                x = jnp.einsum(
+                    "bij,bj->bi" if trans == 0 else "bji,bj->bi", self._inv, r,
+                    precision=hp,
+                )
+        elif self._shared:
             x = jax.scipy.linalg.lu_solve(
                 (self._lu[0], self._piv[0]), r.T, trans=trans
             ).T
@@ -305,6 +338,7 @@ def make_stage_solver(
     gamma,
     cfg: LinearSolveConfig,
     cached_J_blocks: Optional[jnp.ndarray] = None,
+    use_inverse: bool = False,
 ):
     """Build the (sigma*M - gamma*J) solver at linearization point ``y_flat``.
 
@@ -335,4 +369,5 @@ def make_stage_solver(
     else:
         J_blocks = assemble_block_jacobian(f_flat, y_flat, cfg, shared)
     mass_blocks = None if mass_flat is None else mass_flat[None]
-    return DenseStageSolver(J_blocks, mass_blocks, sigma, gamma, n)
+    return DenseStageSolver(J_blocks, mass_blocks, sigma, gamma, n,
+                            use_inverse=use_inverse)

@@ -56,6 +56,7 @@ def get_rw_adj(edge_index, num_nodes, self_loop_weight=1.0):
 def spmm(graph: Graph, w, x):
     """A @ x with per-edge weights w: segment-sum of weighted src features."""
     src, dst = graph.edge_index
+    w = w.astype(x.dtype)  # graph weights are built in fp64 on the host
     return jax.ops.segment_sum(w[:, None] * x[src], dst, graph.num_nodes)
 
 
@@ -104,8 +105,12 @@ class LaplacianFunc(nn.Module):
 
     @nn.compact
     def __call__(self, t, x, graph: Graph, x0):
-        alpha_train = self.param("alpha_train", nn.initializers.ones, ())
-        beta_train = self.param("beta_train", nn.initializers.ones, ())
+        alpha_train = self.param(
+            "alpha_train", nn.initializers.ones, (), x.dtype
+        )
+        beta_train = self.param(
+            "beta_train", nn.initializers.ones, (), x.dtype
+        )
         alpha = alpha_train if self.no_alpha_sigmoid else nn.sigmoid(alpha_train)
         ax = spmm(graph, graph.edge_weight, x)
         f = alpha * (ax - x)
@@ -124,8 +129,12 @@ class AttentionFunc(nn.Module):
 
     @nn.compact
     def __call__(self, t, x, graph: Graph, x0):
-        alpha_train = self.param("alpha_train", nn.initializers.ones, ())
-        beta_train = self.param("beta_train", nn.initializers.ones, ())
+        alpha_train = self.param(
+            "alpha_train", nn.initializers.ones, (), x.dtype
+        )
+        beta_train = self.param(
+            "beta_train", nn.initializers.ones, (), x.dtype
+        )
         alpha = alpha_train if self.no_alpha_sigmoid else nn.sigmoid(alpha_train)
         att = TransAttention(self.hidden_dim, self.heads)(x, graph)
         mean_att = jnp.mean(att, axis=1)

@@ -196,14 +196,20 @@ class ODESolver:
     # ------------------------------------------------------------------
     def _build_stepper(self):
         meth = self.method
+        # with a frozen (fixed) Jacobian the adjoint reuses it too — the
+        # reference's dense-path semantics (and a large perf win: cached
+        # pre-inverted operators serve the transposed solves)
+        exact_adj = not self.lin_cfg.fixed_jacobian
         if self.imex or meth == "imex":
             tab = get_ark_tableau(self.opts.get_string("ts_arkimex_type"))
-            setup = ImplicitSolveSetup(self.lin_cfg, self.newton_cfg)
+            setup = ImplicitSolveSetup(self.lin_cfg, self.newton_cfg,
+                                       adjoint_exact_jacobian=exact_adj)
             f_im, f_ex = self.f
             return ARKIMEX(tab, f_im, f_ex, setup, mass=self.mass)
         if meth in THETA_METHODS or meth in _THETA_TS_TYPES:
             theta = THETA_METHODS.get(meth, _THETA_TS_TYPES.get(meth))
-            setup = ImplicitSolveSetup(self.lin_cfg, self.newton_cfg)
+            setup = ImplicitSolveSetup(self.lin_cfg, self.newton_cfg,
+                                       adjoint_exact_jacobian=exact_adj)
             return Theta(theta, self.f, setup, mass=self.mass)
         tab = get_rk_tableau(meth)
         if self.mass is not None:

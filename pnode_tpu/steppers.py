@@ -84,7 +84,7 @@ class ExplicitRK:
     stage-combine AXPY chains; dynamics evaluations dominate.
     """
 
-    def prepare(self, t0, y0, params):
+    def prepare(self, t0, y0, params, dt0=None):
         """Per-solve setup hook (no-op for explicit methods)."""
         return self
 
@@ -188,6 +188,11 @@ class ImplicitSolveSetup:
     # stage (exact discrete adjoint); if False they reuse frozen_J_blocks as
     # the reference's dense path does
     adjoint_exact_jacobian: bool = True
+    # precomputed stage solvers keyed by the STATIC gamma coefficient
+    # (theta, or the ESDIRK diagonal a_ii): built once per solve when the
+    # Jacobian is frozen and dt is uniform, so the scan body's stage solves
+    # reduce to cached-inverse matmuls (pure MXU work, no LU in the loop)
+    solver_cache: Optional[dict] = None
 
 
 class Theta:
@@ -209,7 +214,7 @@ class Theta:
         self.mass = mass
         self.nfe_per_step = 2 if self.theta < 1.0 else 1
 
-    def prepare(self, t0, y0, params):
+    def prepare(self, t0, y0, params, dt0=None):
         """Freeze the dense/block Jacobian at (t0, y0) for this solve.
 
         Only active with ``fixed_jacobian=True``, replicating the reference's
@@ -273,7 +278,12 @@ class Theta:
             return r.reshape(-1)
 
         gamma = dt * th
-        make = lambda zf: self._solver(t1, params, gamma, zf, shape)
+        cache = self.setup.solver_cache
+        if cache is not None and th in cache:
+            cached = cache[th]
+            make = lambda zf: cached
+        else:
+            make = lambda zf: self._solver(t1, params, gamma, zf, shape)
         z_flat, nstats = newton_solve(
             residual_flat, make, y.reshape(-1), self.setup.newton_cfg
         )
@@ -295,20 +305,26 @@ class Theta:
 
         # transposed solve (M - dt*theta*J1)^T w = lam at the converged state
         setup = self.setup
-        frozen = None if setup.adjoint_exact_jacobian else setup.frozen_J_blocks
+        cache = setup.solver_cache
+        if (cache is not None and th in cache
+                and not setup.adjoint_exact_jacobian):
+            solver = cache[th]
+        else:
+            frozen = (None if setup.adjoint_exact_jacobian
+                      else setup.frozen_J_blocks)
 
-        def f1_flat(zf):
-            return self.f(t1, zf.reshape(shape), params).reshape(-1)
+            def f1_flat(zf):
+                return self.f(t1, zf.reshape(shape), params).reshape(-1)
 
-        solver = make_stage_solver(
-            f1_flat,
-            y1.reshape(-1),
-            self.mass,
-            sigma=1.0,
-            gamma=dt * th,
-            cfg=setup.lin_cfg,
-            cached_J_blocks=frozen,
-        )
+            solver = make_stage_solver(
+                f1_flat,
+                y1.reshape(-1),
+                self.mass,
+                sigma=1.0,
+                gamma=dt * th,
+                cfg=setup.lin_cfg,
+                cached_J_blocks=frozen,
+            )
         w = solver.solve_transpose(lam.reshape(-1)).reshape(shape)
 
         # lam_prev = M^T w + dt (1-theta) J0^T w ; grads via vjps
@@ -366,9 +382,9 @@ class ARKIMEX:
         self._bEe = (None if tableau.b_ex_err is None
                      else [float(x) for x in tableau.b_ex_err])
 
-    def prepare(self, t0, y0, params):
+    def prepare(self, t0, y0, params, dt0=None):
         """Freeze the dense/block Jacobian of f_IM at (t0, y0) (see Theta)."""
-        from .linsolve import assemble_block_jacobian
+        from .linsolve import DenseStageSolver, assemble_block_jacobian
         import copy
 
         if self.setup.lin_cfg.kind == "gmres" or not self.setup.lin_cfg.fixed_jacobian:
@@ -384,12 +400,22 @@ class ARKIMEX:
             self.setup.lin_cfg,
             shared=self.setup.lin_cfg.kind == "block",
         )
+        cache = None
+        if dt0 is not None:
+            gammas = sorted({g for g in (float(x) for x in np.diag(self.tab.a_im))
+                             if g != 0.0})
+            cache = {
+                g: DenseStageSolver(J, None, 1.0, dt0 * g, int(y0.size),
+                                    use_inverse=True)
+                for g in gammas
+            }
         new = copy.copy(self)
         new.setup = ImplicitSolveSetup(
             lin_cfg=self.setup.lin_cfg,
             newton_cfg=self.setup.newton_cfg,
             frozen_J_blocks=J,
             adjoint_exact_jacobian=self.setup.adjoint_exact_jacobian,
+            solver_cache=cache,
         )
         return new
 
@@ -431,9 +457,14 @@ class ARKIMEX:
                     r = (z - G) - (dt * gii) * self.f_im(tiI, z, params_im)
                     return r.reshape(-1)
 
-                make = lambda zf, tiI=tiI, gii=gii: self._stage_solver(
-                    tiI, params_im, dt * gii, zf, shape
-                )
+                cache = self.setup.solver_cache
+                if cache is not None and gii in cache:
+                    cached = cache[gii]
+                    make = lambda zf, cached=cached: cached
+                else:
+                    make = lambda zf, tiI=tiI, gii=gii: self._stage_solver(
+                        tiI, params_im, dt * gii, zf, shape
+                    )
                 z_flat, nstats = newton_solve(
                     residual_flat, make, G.reshape(-1), self.setup.newton_cfg
                 )
@@ -510,18 +541,24 @@ class ARKIMEX:
             p = dyI + dyE
             gii = aI[i][i]
             if gii != 0.0:
-                def f_flat(zf, tiI=tiI):
-                    return self.f_im(tiI, zf.reshape(shape), params_im).reshape(-1)
+                cache = setup.solver_cache
+                if (cache is not None and gii in cache
+                        and not setup.adjoint_exact_jacobian):
+                    solver = cache[gii]
+                else:
+                    def f_flat(zf, tiI=tiI):
+                        return self.f_im(tiI, zf.reshape(shape),
+                                         params_im).reshape(-1)
 
-                solver = make_stage_solver(
-                    f_flat,
-                    Ys[i].reshape(-1),
-                    None,
-                    sigma=1.0,
-                    gamma=dt * gii,
-                    cfg=setup.lin_cfg,
-                    cached_J_blocks=frozen,
-                )
+                    solver = make_stage_solver(
+                        f_flat,
+                        Ys[i].reshape(-1),
+                        None,
+                        sigma=1.0,
+                        gamma=dt * gii,
+                        cfg=setup.lin_cfg,
+                        cached_J_blocks=frozen,
+                    )
                 xi = solver.solve_transpose(p.reshape(-1)).reshape(shape)
                 _, gI2 = vjpI((dt * gii) * xi)
                 gI = tree_add(gI, gI2)

@@ -2,6 +2,8 @@ from .meters import RunningAverageMeter
 from .logging import Tee, get_logger, makedirs
 from .recorder import Recorder
 from .metrics import MetricsWriter
+from .debug import SolverDivergedError, assert_converged, dump_state, nan_guard
+from .profiling import annotate, device_memory_gb, trace
 
 __all__ = [
     "RunningAverageMeter",
@@ -10,4 +12,11 @@ __all__ = [
     "makedirs",
     "Recorder",
     "MetricsWriter",
+    "SolverDivergedError",
+    "assert_converged",
+    "dump_state",
+    "nan_guard",
+    "annotate",
+    "device_memory_gb",
+    "trace",
 ]

@@ -1,0 +1,132 @@
+"""Model-zoo checks: SINODE stencils, SqueezeNext ODE-net, GRAND."""
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnode_tpu.models import (
+    BurgersFuncIM,
+    KSFuncEX,
+    KSFuncIM,
+    burgers_fixed_kernel,
+    ks_fixed_kernel,
+)
+from pnode_tpu.models.sinode import circular_stencil_apply
+from pnode_tpu.models.grand import (
+    GRANDModel,
+    get_rw_adj,
+    segment_softmax,
+    spmm,
+    synthetic_sbm,
+)
+from pnode_tpu.models.sqnxt import SqueezeNextODE
+
+
+def test_circular_stencil_matches_dense_circulant():
+    nx = 16
+    kern = jnp.asarray(ks_fixed_kernel(22.0 / nx))
+    y = jnp.asarray(np.random.default_rng(0).normal(size=(3, nx)))
+    out = circular_stencil_apply(y, kern)
+    # dense circulant reference
+    C = np.zeros((nx, nx))
+    k = len(kern)
+    for i in range(nx):
+        for j in range(k):
+            C[i, (i + j - k // 2) % nx] += float(kern[j])
+    np.testing.assert_allclose(out, y @ jnp.asarray(C).T, rtol=1e-12)
+
+
+def test_ks_stencil_is_ks_linear_operator():
+    """The fixed KS kernel applied to e^{ikx} gives ~ (k^2 - k^4) e^{ikx}."""
+    nx, L = 64, 22.0
+    dx = L / nx
+    kern = jnp.asarray(ks_fixed_kernel(dx))
+    x = np.arange(nx) * dx
+    kwave = 2 * np.pi * 3 / L  # low mode: stencil is accurate
+    u = jnp.asarray(np.cos(kwave * x))[None]
+    out = np.asarray(circular_stencil_apply(u, kern))[0]
+    expected = (kwave**2 - kwave**4) * np.cos(kwave * x)
+    np.testing.assert_allclose(out, expected, rtol=0,
+                               atol=0.05 * np.abs(expected).max())
+
+
+def test_burgers_stencil_is_scaled_laplacian():
+    nx = 32
+    dx = 1.0 / nx
+    kern = jnp.asarray(burgers_fixed_kernel(dx, 8e-4))
+    x = np.arange(nx) * dx
+    kwave = 2 * np.pi * 2
+    u = jnp.asarray(np.sin(kwave * x))[None]
+    out = np.asarray(circular_stencil_apply(u, kern))[0]
+    expected = -8e-4 * kwave**2 * np.sin(kwave * x)
+    np.testing.assert_allclose(out, expected, rtol=0,
+                               atol=0.05 * np.abs(expected).max())
+
+
+def test_sqnxt_forward_and_grad():
+    model = SqueezeNextODE(num_classes=10, width_x=0.25, method="euler", Nt=1)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(params, x, training=False)
+    assert logits.shape == (2, 10)
+
+    def loss(p):
+        return jnp.sum(model.apply(p, x, training=True) ** 2)
+
+    g = jax.grad(loss)(params)
+    norms = [float(jnp.linalg.norm(a)) for a in jax.tree_util.tree_leaves(g)]
+    assert all(np.isfinite(norms))
+    assert any(n > 0 for n in norms)
+
+
+def test_grand_segment_ops():
+    scores = jnp.asarray([1.0, 2.0, 3.0, 0.0])
+    seg = jnp.asarray([0, 0, 1, 1])
+    sm = segment_softmax(scores, seg, 2)
+    np.testing.assert_allclose(float(sm[0] + sm[1]), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(sm[2] + sm[3]), 1.0, rtol=1e-6)
+
+
+def test_grand_rw_adj_row_stochastic():
+    data = synthetic_sbm(n_nodes=50, seed=1)
+    g = get_rw_adj(data["edge_index"], 50)
+    ones = jnp.ones((50, 1))
+    row_sums = spmm(g, g.edge_weight, ones)
+    # D^-1 A with self loops: columns of A^T... row-normalized over outgoing
+    src_sums = jax.ops.segment_sum(g.edge_weight, g.edge_index[0], 50)
+    np.testing.assert_allclose(src_sums, 1.0, rtol=1e-6)
+
+
+def test_grand_model_trains_one_step():
+    import optax
+
+    data = synthetic_sbm(n_nodes=60, seed=2)
+    g = get_rw_adj(data["edge_index"], 60)
+    model = GRANDModel(g, data["x"].shape[1], 16,
+                       int(data["y"].max()) + 1, T=1.0, step_size=0.5,
+                       method="rk4")
+    x = jnp.asarray(data["x"])
+    y = jnp.asarray(data["y"])
+    params = model.init(jax.random.PRNGKey(0), x)
+    opt = optax.adam(1e-2)
+    s = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss(pp):
+            logits = model.apply(pp, x, training=True,
+                                 rng=jax.random.PRNGKey(0))
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            )
+
+        l, grad = jax.value_and_grad(loss)(p)
+        u, s2 = opt.update(grad, s)
+        return optax.apply_updates(p, u), s2, l
+
+    p1, s, l1 = step(params, s)
+    p2, s, l2 = step(p1, s)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
