@@ -50,6 +50,9 @@ parser.add_argument("--lr", type=float, default=5e-3)
 parser.add_argument("--linear_solver", type=str,
                     choices=["petsc", "hpddm", "torch"], default="petsc")
 parser.add_argument("--fixed_jacobian", action="store_true")
+parser.add_argument("--node", action="store_true",
+                    help="autodiff-through-solver baseline (the reference's "
+                         "KS_node torchdiffeq comparison)")
 parser.add_argument("--cpu", action="store_true")
 args = init_flags(parser)
 
@@ -165,7 +168,10 @@ def main():
     @jax.jit
     def train_step(p, opt_state, y0, tgt):
         def loss_fn(pp):
-            pred = ode.odeint_adjoint(y0, t_out, params=pp)
+            if args.node:
+                pred, _ = ode.solve(y0, t_out, params=pp, with_adjoint=False)
+            else:
+                pred = ode.odeint_adjoint(y0, t_out, params=pp)
             # pred[0] is y0 itself; targets align with pred[1:]
             return jnp.mean((jnp.swapaxes(pred[1:], 0, 1) - tgt) ** 2)
 

@@ -40,7 +40,7 @@ class CNF:
     def __init__(
         self,
         odenet,
-        input_dim: int,
+        input_dim: int = None,
         T: float = 0.5,
         solver: str = "dopri5",
         step_size: float = 0.05,
@@ -48,8 +48,22 @@ class CNF:
         rademacher: bool = True,
         regularization_fns: Sequence[str] = (),
         solver_options: Optional[dict] = None,
+        event_shape: Optional[Tuple[int, ...]] = None,
     ):
+        """event_shape: non-batch shape of x for image CNFs (e.g. (H, W, C));
+        the solver state is the flattened (B, prod(event_shape)+1+R) array
+        while the dynamics net sees the unflattened view — the reference's
+        FlattenFunc wrapper (cnf.py:145-152) works the same way."""
         self.net = odenet
+        if event_shape is not None:
+            self.event_shape = tuple(event_shape)
+            input_dim = 1
+            for d in self.event_shape:
+                input_dim *= d
+        else:
+            if input_dim is None:
+                raise ValueError("provide input_dim or event_shape")
+            self.event_shape = (int(input_dim),)
         self.D = int(input_dim)
         self.T = float(T)
         self.solver = solver
@@ -67,7 +81,7 @@ class CNF:
     # -- parameters ------------------------------------------------------
 
     def init(self, key, x):
-        net_params = self.net.init(key, 0.0, x)
+        net_params = self.net.init(key, 0.0, x.reshape((x.shape[0],) + self.event_shape))
         return net_params
 
     # -- dynamics --------------------------------------------------------
@@ -75,13 +89,17 @@ class CNF:
     def _dynamics(self, reverse: bool, exact_div: bool):
         D, R = self.D, self.R
 
+        ev = self.event_shape
+
         def dyn(t, flat, p):
             z = flat[..., :D]
             t_eff = (self.T - t) if reverse else t
             sign = -1.0 if reverse else 1.0
 
             def f_closed(zz):
-                return self.net.apply(p["net"], t_eff, zz)
+                zz_ev = zz.reshape((zz.shape[0],) + ev)
+                out = self.net.apply(p["net"], t_eff, zz_ev)
+                return out.reshape(zz.shape[0], -1)
 
             if exact_div:
                 dz, div = divergence_bf_fn(f_closed, z)
@@ -136,19 +154,21 @@ class CNF:
         """
         B = x.shape[0]
         dtype = x.dtype
+        x_flat = x.reshape(B, -1)
         if exact_div:
-            probe = jnp.zeros_like(x)
+            probe = jnp.zeros_like(x_flat)
         else:
             if key is None:
                 raise ValueError("key required for the Hutchinson estimator")
             probe = sample_probe(
-                key, x.shape, dtype, "rademacher" if self.rademacher else "gaussian"
+                key, x_flat.shape, dtype,
+                "rademacher" if self.rademacher else "gaussian",
             )
         if logpx is None:
             logpx = jnp.zeros((B, 1), dtype)
 
         flat0 = jnp.concatenate(
-            [x, logpx, jnp.zeros((B, self.R), dtype)], axis=-1
+            [x_flat, logpx, jnp.zeros((B, self.R), dtype)], axis=-1
         )
         ode = self._get_solver(flat0.shape, dtype, training, reverse, exact_div)
         p = {"net": params, "probe": probe}
@@ -159,7 +179,7 @@ class CNF:
             flat0, t_out, params=p, with_adjoint=training
         )
         out = sol[-1]
-        z = out[..., : self.D]
+        z = out[..., : self.D].reshape((B,) + self.event_shape)
         delta_logp = out[..., self.D: self.D + 1]
         regs = out[..., self.D + 1:]
         return (z, delta_logp, regs), stats

@@ -1,0 +1,149 @@
+"""Non-ODE flow layers: affine coupling, planar flow, spectral norm.
+
+Rebuild of the reference's remaining flow infrastructure
+(/root/reference/ffjord-pnode/lib/layers/coupling.py, planar.py and
+lib/spectral_norm.py:12-184): discrete flow baselines that the FFJORD paper
+compares against, plus power-iteration spectral normalization for Lipschitz
+control of dynamics nets.
+
+These follow the FlowLayer protocol of ``pnode_tpu.ffjord.flows``
+(delta-accumulation convention: log p_x(x) = log p_z(z) - delta).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .flows import FlowLayer
+
+
+class _CouplingNet(nn.Module):
+    hidden: Sequence[int]
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        for w in self.hidden:
+            h = nn.relu(nn.Dense(w)(h))
+        return nn.Dense(
+            2 * self.out_dim, kernel_init=nn.initializers.zeros
+        )(h)
+
+
+class CouplingLayer(FlowLayer):
+    """Affine coupling (RealNVP-style, lib/layers/coupling.py): the masked
+    half conditions scale/shift of the other half; exact log-det."""
+
+    def __init__(self, dim: int, hidden: Sequence[int] = (64, 64),
+                 swap: bool = False):
+        self.dim = dim
+        self.d = dim // 2
+        self.swap = swap
+        self.net = _CouplingNet(hidden, dim - self.d)
+
+    def _split(self, x):
+        if self.swap:
+            return x[:, self.d:], x[:, : self.d]
+        return x[:, : self.d], x[:, self.d:]
+
+    def _merge(self, a, b):
+        if self.swap:
+            return jnp.concatenate([b, a], axis=1)
+        return jnp.concatenate([a, b], axis=1)
+
+    def init(self, key, x):
+        a, _ = self._split(x)
+        return self.net.init(key, a)
+
+    def apply(self, params, x, delta, state, reverse=False, **kw):
+        a, b = self._split(x)
+        sb = self.net.apply(params, a)
+        shift, log_scale = sb[:, : b.shape[1]], sb[:, b.shape[1]:]
+        log_scale = jnp.tanh(log_scale)  # bounded scales, stable training
+        if reverse:
+            b_new = (b - shift) * jnp.exp(-log_scale)
+            delta = delta + jnp.sum(log_scale, axis=1, keepdims=True)
+        else:
+            b_new = b * jnp.exp(log_scale) + shift
+            delta = delta - jnp.sum(log_scale, axis=1, keepdims=True)
+        return self._merge(a, b_new), delta, state
+
+
+class PlanarFlow(FlowLayer):
+    """Planar flow x + u tanh(w.x + b) (lib/layers/planar.py); invertibility
+    enforced by the u-hat reparameterization; forward direction only (the
+    inverse has no closed form — the reference has the same restriction)."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+
+    def init(self, key, x):
+        k1, k2 = jax.random.split(key)
+        return {
+            "u": 0.1 * jax.random.normal(k1, (self.dim,), x.dtype),
+            "w": 0.1 * jax.random.normal(k2, (self.dim,), x.dtype),
+            "b": jnp.zeros((), x.dtype),
+        }
+
+    def apply(self, params, x, delta, state, reverse=False, **kw):
+        if reverse:
+            raise NotImplementedError("planar flows have no closed-form inverse")
+        u, w, b = params["u"], params["w"], params["b"]
+        # u-hat: ensure w.u >= -1 for invertibility
+        wu = jnp.dot(w, u)
+        m = -1.0 + jax.nn.softplus(wu)
+        u_hat = u + (m - wu) * w / jnp.maximum(jnp.dot(w, w), 1e-12)
+        lin = x @ w + b
+        y = x + u_hat[None, :] * jnp.tanh(lin)[:, None]
+        psi = (1 - jnp.tanh(lin) ** 2)[:, None] * w[None, :]
+        det = 1.0 + psi @ u_hat
+        delta = delta - jnp.log(jnp.abs(det) + 1e-12)[:, None]
+        return y, delta, state
+
+
+def spectral_normalize(kernel: jnp.ndarray, u, n_iters: int = 1,
+                       eps: float = 1e-12):
+    """One (or more) power-iteration steps; returns (W/sigma, new_u).
+
+    The reference mutates module weights in-place with an explicit
+    power-iteration hook (lib/spectral_norm.py:12-184); functionally the
+    estimate vector u is explicit state threaded by the caller.
+    """
+    W = kernel.reshape(-1, kernel.shape[-1])  # (in, out)
+    for _ in range(n_iters):
+        v = W @ u
+        v = v / (jnp.linalg.norm(v) + eps)
+        u = W.T @ v
+        u = u / (jnp.linalg.norm(u) + eps)
+    sigma = v @ (W @ u)
+    return kernel / jnp.maximum(sigma, eps), u
+
+
+class SpectralDense(nn.Module):
+    """Dense layer with spectral normalization (power-iteration state in the
+    'spectral' variable collection; update with mutable=['spectral'])."""
+
+    features: int
+    n_power_iterations: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        u = self.variable(
+            "spectral", "u",
+            lambda: jax.random.normal(jax.random.PRNGKey(0), (self.features,)),
+        )
+        W_sn, new_u = spectral_normalize(
+            kernel, u.value.astype(x.dtype), self.n_power_iterations
+        )
+        if not self.is_initializing():
+            u.value = jax.lax.stop_gradient(new_u)
+        return x @ W_sn + bias

