@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--nx", type=int, default=64)
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--no_pallas", action="store_true")
     args, unknown = ap.parse_known_args()
 
     import jax
@@ -50,9 +51,10 @@ def main():
     # shared-block LU (the linear KS stencil makes it exact)
     pnode_tpu.set_option("snes_type", "ksponly")
     pnode_tpu.set_option("ksp_rtol", "1e-6")
+    use_pallas = (not args.no_pallas) and jax.default_backend() in ("tpu", "axon")
 
     im = KSFuncIM(nx=nx)
-    ex = KSFuncEX(nx=nx)
+    ex = KSFuncEX(nx=nx, use_pallas=use_pallas)
     key = jax.random.PRNGKey(0)
     y_tmpl = jnp.zeros((batch, nx), dtype)
     vim = jax.tree_util.tree_map(

@@ -1,6 +1,7 @@
 from .sinode import (
     CircularConv1D,
     StackedMLP,
+    FusedStackedMLP,
     KSFuncIM,
     KSFuncEX,
     KSSnodeFunc,
@@ -14,6 +15,7 @@ from .sinode import (
 __all__ = [
     "CircularConv1D",
     "StackedMLP",
+    "FusedStackedMLP",
     "KSFuncIM",
     "KSFuncEX",
     "KSSnodeFunc",

