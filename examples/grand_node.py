@@ -37,6 +37,10 @@ parser.add_argument("--epochs", type=int, default=100)
 parser.add_argument("--patience", type=int, default=30)
 parser.add_argument("--input_dropout", type=float, default=0.5)
 parser.add_argument("--dropout", type=float, default=0.5)
+parser.add_argument("--early_stop_int", action="store_true",
+                    help="evaluate at intermediate integration times and "
+                         "report the best (the reference's early-stop-solver "
+                         "mode, grand/src/early_stop_solver.py)")
 parser.add_argument("--seed", type=int, default=0)
 parser.add_argument("--train_dir", type=str, default="./train_results_grand")
 parser.add_argument("--cpu", action="store_true")
@@ -103,6 +107,21 @@ def main():
             out[k] = jnp.sum((pred == y) * m) / jnp.sum(m)
         return out
 
+    eval_times = np.linspace(0.0, args.time, 5)[1:]
+
+    @jax.jit
+    def accuracy_multi(p):
+        logits_t = model.apply_multi(p, x, eval_times)
+        pred_t = jnp.argmax(logits_t, -1)  # (n_t, N)
+        val_acc = jnp.sum((pred_t == y) * masks["val_mask"], -1) / jnp.sum(
+            masks["val_mask"]
+        )
+        test_acc = jnp.sum((pred_t == y) * masks["test_mask"], -1) / jnp.sum(
+            masks["test_mask"]
+        )
+        i = jnp.argmax(val_acc)
+        return val_acc[i], test_acc[i], jnp.asarray(eval_times)[i]
+
     rec = Recorder()
     best_val, best_test, patience = 0.0, 0.0, 0
     for epoch in range(args.epochs):
@@ -110,7 +129,12 @@ def main():
         params, opt_state, loss = train_step(
             params, opt_state, jax.random.PRNGKey(epoch)
         )
-        accs = {k: float(v) for k, v in accuracy(params).items()}
+        if args.early_stop_int:
+            va, ta, tbest = accuracy_multi(params)
+            accs = {"train_mask": float("nan"), "val_mask": float(va),
+                    "test_mask": float(ta)}
+        else:
+            accs = {k: float(v) for k, v in accuracy(params).items()}
         if accs["val_mask"] > best_val:
             best_val, best_test, patience = accs["val_mask"], accs["test_mask"], 0
         else:

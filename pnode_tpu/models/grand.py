@@ -236,6 +236,26 @@ class GRANDModel:
             self._solvers[key] = ode
         return ode
 
+    def apply_multi(self, params, x, times):
+        """Decoded logits at several integration times (n_t, N, C).
+
+        The evaluation mode behind the reference's early-stop solver
+        (grand/src/early_stop_solver.py:36-280, which patches torchdiffeq to
+        monitor validation accuracy at intermediate times and keep the best):
+        here the solver returns all requested interior outputs in one solve
+        and the caller selects the best time on the validation mask.
+        """
+        import numpy as np_
+
+        h0 = self.enc.apply(params["enc"], x)
+        ode = self._get_solver(h0.shape, h0.dtype, False)
+        p = {"func": params["func"], "x0": h0}
+        if self.block == "imex":
+            p = (p, p)
+        t_out = np_.asarray(times, dtype=np_.float64)
+        sol, _ = ode.solve(h0, t_out, params=p, with_adjoint=False)
+        return jax.vmap(lambda h: self.dec.apply(params["dec"], h))(sol)
+
     def apply(self, params, x, training: bool = True, rng=None):
         if training and rng is not None:
             k1, k2 = jax.random.split(rng)
