@@ -50,6 +50,8 @@ parser.add_argument("--lr", type=float, default=5e-3)
 parser.add_argument("--linear_solver", type=str,
                     choices=["petsc", "hpddm", "torch"], default="petsc")
 parser.add_argument("--fixed_jacobian", action="store_true")
+parser.add_argument("--use_pallas", action="store_true",
+                    help="fused Pallas MLP for the explicit dynamics (TPU)")
 parser.add_argument("--node", action="store_true",
                     help="autodiff-through-solver baseline (the reference's "
                          "KS_node torchdiffeq comparison)")
@@ -120,7 +122,8 @@ def main():
     y_tmpl = jnp.zeros((args.batch_size, NX), dtype)
     ode = ODESolver()
     if args.pnode_model == "imex":
-        im, ex = KSFuncIM(nx=NX, L=L), KSFuncEX(nx=NX)
+        im = KSFuncIM(nx=NX, L=L)
+        ex = KSFuncEX(nx=NX, use_pallas=args.use_pallas)
         vim = to_jax_tree(im.init(key, 0.0, y_tmpl), dtype)
         vex = to_jax_tree(ex.init(key, 0.0, y_tmpl), dtype)
         params = (vim, vex)

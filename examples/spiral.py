@@ -29,6 +29,8 @@ parser.add_argument("--step_size", type=float, default=0.025)
 parser.add_argument("--lr", type=float, default=1e-3)
 parser.add_argument("--implicit_form", action="store_true")
 parser.add_argument("--double_prec", action="store_true")
+parser.add_argument("--viz", action="store_true")
+parser.add_argument("--train_dir", type=str, default="./train_results_spiral")
 parser.add_argument("--seed", type=int, default=0)
 parser.add_argument("--cpu", action="store_true")
 args = init_flags(parser)
@@ -134,6 +136,32 @@ def main():
         pred = ode_test.odeint(true_y0, t, params=p)
         return jnp.mean(jnp.abs(pred - true_y))
 
+    def visualize(itr, p):
+        """Trajectory + phase portrait, like ode_demo_petsc's viz panel."""
+        import os
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(os.path.join(args.train_dir, "png"), exist_ok=True)
+        pred = ode_test.odeint(true_y0, t, params=p)
+        fig, (a1, a2) = plt.subplots(1, 2, figsize=(10, 4))
+        tt = np.asarray(t)
+        a1.plot(tt, np.asarray(true_y)[:, 0], "g-", label="true")
+        a1.plot(tt, np.asarray(pred)[:, 0], "b--", label="pred")
+        a1.set_title("u1(t)")
+        a1.legend()
+        a2.plot(*np.asarray(true_y).T, "g-")
+        a2.plot(*np.asarray(pred).T, "b--")
+        a2.set_title("phase portrait")
+        fig.tight_layout()
+        path = os.path.join(args.train_dir, "png", f"{itr:05d}.png")
+        fig.savefig(path, dpi=90)
+        plt.close(fig)
+        return path
+
     time_meter = RunningAverageMeter(0.97)
     loss_meter = RunningAverageMeter(0.97)
     end = time.time()
@@ -149,6 +177,8 @@ def main():
                 f"Train Loss {loss_meter.avg:.6f} | Test Loss {tl:.6f} | "
                 f"NFE-F {ode.nfe_forward}"
             )
+            if args.viz:
+                visualize(itr, params)
         end = time.time()
     return float(test_loss(params))
 
