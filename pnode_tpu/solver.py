@@ -253,6 +253,13 @@ class ODESolver:
         key = ("adaptive", tuple(float(x) for x in t_full), with_adjoint)
         fn = self._cache.get(key)
         if fn is None:
+            if not hasattr(self._stepper, "step_embedded"):
+                raise ValueError(
+                    "-ts_adapt_type basic needs an embedded error estimate; "
+                    f"method {self.method!r} has none (use an embedded RK "
+                    "(bosh3/dopri5) or an ARK pair with b_err, or "
+                    "-ts_adapt_type none)"
+                )
             tab = getattr(self._stepper, "tab", None)
             order = getattr(tab, "order", 5) if tab is not None else 2
             cfg = AdaptConfig(
