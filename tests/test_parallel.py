@@ -1,0 +1,56 @@
+"""Data-parallel training: sharded grads bit-match single-device (8-dev mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnode_tpu import Func, ODESolver
+from pnode_tpu.parallel import (
+    dp_value_and_grad,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_matches_single_device():
+    B, D = 16, 8
+    P = {"w": jnp.asarray(np.random.default_rng(0).normal(size=(D, D)) * 0.1)}
+
+    def f(t, y, p):
+        return jnp.tanh(y @ p["w"])
+
+    ode = ODESolver()
+    ode.setupTS(jnp.zeros((B // 8, D)), Func(f, P), step_size=0.1,
+                method="rk4")
+    t = jnp.asarray([0.0, 0.5])
+
+    def loss_fn(p, batch):
+        y0, tgt = batch
+        pred, _ = ode.solve(y0, t, params=p)
+        return jnp.mean((pred[-1] - tgt) ** 2)
+
+    rng = np.random.default_rng(1)
+    y0 = jnp.asarray(rng.normal(size=(B, D)))
+    batch = (y0, 0.9 * y0)
+
+    mesh = make_mesh(8)
+    vg = dp_value_and_grad(loss_fn, mesh)
+    loss_dp, g_dp = jax.jit(vg)(replicate(P, mesh), shard_batch(batch, mesh))
+    loss_1, g_1 = jax.value_and_grad(loss_fn)(P, batch)
+    np.testing.assert_allclose(float(loss_dp), float(loss_1), rtol=1e-12)
+    np.testing.assert_allclose(g_dp["w"], g_1["w"], rtol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_make_mesh_rejects_overallocation():
+    with pytest.raises(ValueError, match="available"):
+        make_mesh(10_000)
