@@ -1,0 +1,44 @@
+"""Full additive order conditions (colored trees) on all ARK tableaus."""
+
+import numpy as np
+import pytest
+
+from pnode_tpu.order_conditions import (
+    all_conditions,
+    n_conditions,
+    residuals,
+    tree_density,
+    tree_order,
+)
+from pnode_tpu.tableaus import get_ark_tableau, get_rk_tableau
+
+
+def test_tree_counts():
+    # colored rooted trees modulo root color: 1, 2, 6, 18, 57 at orders 1..5
+    counts = [len([t for t in all_conditions(5) if tree_order(t) == p])
+              for p in range(1, 6)]
+    assert counts[0] == 1
+    assert counts[1] == 2
+    # sanity: strictly growing, substantial coupling at higher order
+    assert counts[2] > counts[1] and counts[3] > counts[2]
+    assert n_conditions(5) == sum(counts)
+
+
+def test_single_method_reduction_matches_rk():
+    """With A_im == A_ex, colored conditions collapse to plain RK conditions:
+    rk4 satisfies all of order 4 and violates some at order 5."""
+    tab = get_rk_tableau("rk4")
+    r4 = residuals(tab.a, tab.a, tab.b, 4)
+    np.testing.assert_allclose(r4, 0.0, atol=1e-14)
+    r5 = residuals(tab.a, tab.a, tab.b, 5)
+    assert np.max(np.abs(r5)) > 1e-3  # genuinely order 4, not 5
+
+    d5 = get_rk_tableau("dopri5")
+    np.testing.assert_allclose(residuals(d5.a, d5.a, d5.b, 5), 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("name", ["1bee", "ars122", "l2", "3", "4"])
+def test_ark_pairs_satisfy_all_coupling_conditions(name):
+    tab = get_ark_tableau(name)
+    r = residuals(tab.a_im, tab.a_ex, tab.b_im, tab.order)
+    np.testing.assert_allclose(r, 0.0, atol=5e-11, err_msg=name)
