@@ -415,12 +415,36 @@ def _ark4() -> ARKTableau:
     )
 
 
+def _ark5() -> ARKTableau:
+    """Derived 8-stage order-5 pair (tools/derive_ark5.py).
+
+    Fills the ``-ts_arkimex_type 5`` slot with a pair satisfying ALL additive
+    order-5 conditions to machine precision (full colored-tree validation in
+    tests). The implicit part is A-stable on the sampled left half-plane but
+    NOT L-stable (|R(-inf)| < 1 rather than ~0), unlike Kennedy-Carpenter's
+    ARK5(4)8L[2]SA; prefer "4" for severely stiff production problems.
+    """
+    from . import tableaus_ark5 as t5
+
+    return ARKTableau(
+        name="5",
+        order=5,
+        a_im=np.asarray(t5.A_IM),
+        b_im=np.asarray(t5.B),
+        c_im=np.asarray(t5.C),
+        a_ex=np.asarray(t5.A_EX),
+        b_ex=np.asarray(t5.B),
+        c_ex=np.asarray(t5.C),
+    )
+
+
 _ARK_TABLEAUS = {
     "1bee": _imex_euler,
     "ars122": _ars122,
     "l2": _l2,
     "3": _ark3,
     "4": _ark4,
+    "5": _ark5,
     "a2": _l2,  # A-stable slot: serve the L-stable 2nd-order pair
 }
 
@@ -430,11 +454,14 @@ DEFAULT_ARK = "3"  # PETSc TSARKIMEX default
 def get_ark_tableau(name: Optional[str] = None) -> ARKTableau:
     key = name or DEFAULT_ARK
     if key == "5":
-        warnings.warn(
-            "ARK5(4)8L[2]SA is not implemented yet; using ARK4(3)6L[2]SA",
-            stacklevel=2,
-        )
-        key = "4"
+        try:
+            return _ark5()
+        except ImportError:
+            warnings.warn(
+                "derived ARK5 tableau unavailable; using ARK4(3)6L[2]SA",
+                stacklevel=2,
+            )
+            key = "4"
     factory = _ARK_TABLEAUS.get(key)
     if factory is None:
         warnings.warn(

