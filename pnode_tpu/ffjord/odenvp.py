@@ -149,12 +149,119 @@ class ODENVP:
 
     def sample(self, params, key, n: int, dtype=jnp.float32):
         """Prior samples pushed backwards through the flow."""
-        # draw z's at every scale
-        zs = []
-        for i, blocks in enumerate(self.scales):
-            pass
         raise NotImplementedError(
             "multiscale sampling lands in a later round (forward density "
             "estimation is complete); the reference's ODENVP is likewise "
             "used for density estimation"
         )
+
+
+def _squeeze(x, f=2):
+    b, h, w, c = x.shape
+    y = x.reshape(b, h // f, f, w // f, f, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // f, w // f, f * f * c)
+
+
+def _unsqueeze(x, f=2):
+    b, h, w, c = x.shape
+    c2 = c // (f * f)
+    y = x.reshape(b, h, w, f, f, c2).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, h * f, w * f, c2)
+
+
+class ParallelScaleDyn(nn.Module):
+    """Sum of conv nets applied at multiple squeezed scales.
+
+    The dynamics of MultiscaleParallelCNF
+    (/root/reference/ffjord-pnode/lib/multiscale_parallel.py
+    ParallelSumModules, :126-134): each scale squeezes k times, runs its own
+    conv ODEnet, unsqueezes back, and the contributions are summed.
+    """
+
+    n_scale: int
+    channels: int
+    hidden_dims: Sequence[int] = (32,)
+    layer_type: str = "concat"
+
+    @nn.compact
+    def __call__(self, t, y):
+        out = jnp.zeros_like(y)
+        for k in range(self.n_scale):
+            z = y
+            for _ in range(k):
+                z = _squeeze(z)
+            dz = ConvODEnet(
+                hidden_dims=tuple(self.hidden_dims),
+                out_channels=z.shape[-1],
+                layer_type=self.layer_type,
+            )(t, z)
+            for _ in range(k):
+                dz = _unsqueeze(dz)
+            out = out + dz
+        return out
+
+
+class MultiscaleParallelCNF:
+    """One full-resolution CNF whose dynamics sums per-scale conv nets
+    (multiscale_parallel.py MultiscaleParallelCNF, :8-122). Downsamples
+    until a spatial dim would drop below 4 (n_scale auto)."""
+
+    def __init__(
+        self,
+        input_shape: Tuple[int, int, int],
+        n_scale: int = 0,
+        n_blocks: int = 1,
+        intermediate_dims: Sequence[int] = (32,),
+        alpha: float = -1.0,
+        time_length: float = 1.0,
+        solver: str = "rk4",
+        step_size: float = 0.25,
+    ):
+        h, w, c = input_shape
+        max_scale = 0
+        hh, ww = h, w
+        while hh >= 4 and ww >= 4:
+            max_scale += 1
+            hh //= 2
+            ww //= 2
+        self.n_scale = min(n_scale or max_scale, max_scale)
+        self.input_shape = tuple(input_shape)
+        self.pre = (LogitTransform(alpha) if alpha > 0
+                    else __import__("pnode_tpu.ffjord.flows",
+                                    fromlist=["ZeroMeanTransform"]
+                                    ).ZeroMeanTransform())
+        self.blocks = [
+            CNF(
+                ParallelScaleDyn(
+                    n_scale=self.n_scale, channels=c,
+                    hidden_dims=tuple(intermediate_dims),
+                ),
+                event_shape=input_shape,
+                T=time_length,
+                solver=solver,
+                step_size=step_size,
+            )
+            for _ in range(n_blocks)
+        ]
+
+    def init(self, key, x):
+        params = []
+        for blk in self.blocks:
+            key, sub = jax.random.split(key)
+            params.append(blk.init(sub, x))
+        return params
+
+    def log_prob(self, params, x, key=None, training=True):
+        B = x.shape[0]
+        delta = jnp.zeros((B, 1), x.dtype)
+        h, delta, _ = self.pre.apply({}, x, delta, {})
+        for blk, bp in zip(self.blocks, params):
+            if key is not None:
+                key, sub = jax.random.split(key)
+            else:
+                sub = None
+            (h, dlp, _), _ = blk.apply(bp, h, key=sub, training=training,
+                                       exact_div=key is None)
+            delta = delta + dlp
+        logpz = standard_normal_logprob(h)
+        return logpz[:, None] - delta, h

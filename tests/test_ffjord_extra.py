@@ -99,3 +99,23 @@ def test_odenvp_log_prob_and_grads():
     norms = [float(jnp.linalg.norm(a)) for a in jax.tree_util.tree_leaves(g)]
     assert all(np.isfinite(n) for n in norms)
     assert any(n > 0 for n in norms)
+
+
+def test_multiscale_parallel_cnf():
+    from pnode_tpu.ffjord.odenvp import MultiscaleParallelCNF
+
+    m = MultiscaleParallelCNF((8, 8, 1), n_blocks=1, intermediate_dims=(8,),
+                              step_size=0.5)
+    assert m.n_scale == 2  # 8 -> 4 -> 2 (stops when < 4)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 8, 8, 1)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    logp, z = m.log_prob(params, x, key=jax.random.PRNGKey(1))
+    assert logp.shape == (2, 1) and z.shape == x.shape
+
+    def nll(p):
+        lp, _ = m.log_prob(p, x, key=jax.random.PRNGKey(1))
+        return -jnp.mean(lp)
+
+    g = jax.grad(nll)(params)
+    assert all(np.isfinite(np.asarray(a)).all()
+               for a in jax.tree_util.tree_leaves(g))
