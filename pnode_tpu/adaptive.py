@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .adjoint import SolveStats
 from .misc import tree_add, tree_zeros_like
 
 

@@ -24,7 +24,7 @@ statistics (MovingBatchNorm); stateless layers pass both through unchanged.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ dense (tabular) and 2-D conv (image) variants. Each layer maps
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax

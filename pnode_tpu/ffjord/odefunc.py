@@ -16,7 +16,7 @@ evaluation, train_tabular.py:418-424).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -29,7 +29,6 @@ All solvers operate on flat 1-D vectors; batch structure is communicated via
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -17,7 +17,7 @@ the jax-native replacement for torch_sparse.spmm / torch_geometric.softmax.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

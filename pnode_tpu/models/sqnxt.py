@@ -16,8 +16,6 @@ reference's eval-time running-stats BN is a documented deviation.)
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Sequence, Tuple
 
 import flax.linen as nn
 import jax

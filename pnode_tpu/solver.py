@@ -28,7 +28,7 @@ Runtime options override programmatic choices (setFromOptions-last):
 from __future__ import annotations
 
 import warnings
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,8 +26,8 @@ for ARS(1,2,2); Pareschi & Russo 2005 for the L-stable 2nd-order pair).
 from __future__ import annotations
 
 import warnings
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
