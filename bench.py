@@ -53,6 +53,8 @@ def main():
     pnode_tpu.set_option("ksp_rtol", "1e-6")
     use_pallas = (not args.no_pallas) and jax.default_backend() in ("tpu", "axon")
 
+    # note: f_im stays on the roll-chain path: its Jacobian is assembled
+    # with jacfwd, and custom_vjp Pallas ops do not support forward-mode
     im = KSFuncIM(nx=nx)
     ex = KSFuncEX(nx=nx, use_pallas=use_pallas)
     key = jax.random.PRNGKey(0)

@@ -67,10 +67,12 @@ class CircularConv1D(nn.Module):
     fixed_kernel given -> non-trainable constant (the reference marks the
     torch parameter requires_grad=False); otherwise initialized
     U(-sqrt(1/k), sqrt(1/k)) like torch's Conv1d default.
+    use_pallas: apply via the fused single-kernel stencil op on TPU.
     """
 
     kernel_size: int = 5
     fixed_kernel: Optional[tuple] = None  # hashable static field
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, y):
@@ -85,6 +87,10 @@ class CircularConv1D(nn.Module):
                 ),
                 (self.kernel_size,),
             ).astype(y.dtype)
+        if self.use_pallas and jax.default_backend() in ("tpu", "axon"):
+            from ..ops.circular_stencil import circular_stencil
+
+            return circular_stencil(y, kernel)
         return circular_stencil_apply(y, kernel)
 
 
@@ -164,12 +170,14 @@ class KSFuncIM(nn.Module):
     nx: int = 64
     L: float = 22.0
     fixed_linear: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, t, y):
         dx = self.L / self.nx
         fixed = tuple(ks_fixed_kernel(dx)) if self.fixed_linear else None
-        return CircularConv1D(kernel_size=5, fixed_kernel=fixed)(y)
+        return CircularConv1D(kernel_size=5, fixed_kernel=fixed,
+                              use_pallas=self.use_pallas)(y)
 
 
 class KSFuncEX(nn.Module):
@@ -225,12 +233,14 @@ class BurgersFuncIM(nn.Module):
 
     nx: int = 512
     alpha: float = 8e-4
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, t, y):
         dx = 1.0 / self.nx
         fixed = tuple(burgers_fixed_kernel(dx, self.alpha))
-        return CircularConv1D(kernel_size=3, fixed_kernel=fixed)(y)
+        return CircularConv1D(kernel_size=3, fixed_kernel=fixed,
+                              use_pallas=self.use_pallas)(y)
 
 
 class BurgersFuncEX(nn.Module):

@@ -81,3 +81,33 @@ def test_fused_mlp_jvp_for_divergence_path():
     _, vjp_rf = jax.vjp(lambda xx: _ref(xx, Ws, bs, "relu"), x)
     np.testing.assert_allclose(vjp_pl(v)[0], vjp_rf(v)[0], rtol=2e-4,
                                atol=1e-5)
+
+
+def test_circular_stencil_kernel_matches_rolls():
+    from pnode_tpu.models.sinode import (
+        circular_stencil_apply,
+        ks_fixed_kernel,
+    )
+    from pnode_tpu.ops.circular_stencil import circular_stencil
+
+    y = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 64)).astype(np.float32)
+    )
+    w = jnp.asarray(ks_fixed_kernel(22 / 64).astype(np.float32))
+    ref = circular_stencil_apply(y, w)
+    out = circular_stencil(y, w, interpret=True)
+    np.testing.assert_allclose(out, ref, rtol=2e-6,
+                               atol=2e-6 * float(jnp.max(jnp.abs(ref))))
+
+    def lp(y, w):
+        return jnp.sum(jnp.sin(circular_stencil(y, w, interpret=True)))
+
+    def lr(y, w):
+        return jnp.sum(jnp.sin(circular_stencil_apply(y, w)))
+
+    g1 = jax.grad(lp, argnums=(0, 1))(y, w)
+    g2 = jax.grad(lr, argnums=(0, 1))(y, w)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-4 * scale)
