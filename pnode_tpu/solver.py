@@ -127,12 +127,21 @@ class ODESolver:
             raise ValueError(
                 f"batch_size {batch_size} does not divide state size {n_tmpl}"
             )
+        # inner-solver options use the reference's "pnode_inner_" prefix
+        # (hpddm_linearsolve.py:15 setOptionsPrefix), falling back to the
+        # unprefixed -ksp_* flags
+        inner = Options(self.opts.prefix + "pnode_inner_")
+
+        def _ksp(name, default, get="get_real"):
+            outer_val = getattr(self.opts, get)(name, default)
+            return getattr(inner, get)(name, outer_val)
+
         self.lin_cfg = LinearSolveConfig(
             kind=kind,
-            rtol=self.opts.get_real("ksp_rtol", 1e-5),
-            atol=self.opts.get_real("ksp_atol", 0.0),
-            restart=self.opts.get_int("ksp_gmres_restart", 30),
-            max_restarts=max(1, self.opts.get_int("ksp_max_it", 300) // 30),
+            rtol=_ksp("ksp_rtol", 1e-5),
+            atol=_ksp("ksp_atol", 0.0),
+            restart=_ksp("ksp_gmres_restart", 30, "get_int"),
+            max_restarts=max(1, _ksp("ksp_max_it", 300, "get_int") // 30),
             block_size=n_tmpl // int(batch_size),
             fixed_jacobian=bool(fixed_jacobian),
         )

@@ -72,3 +72,24 @@ def test_grid_multiple_steps_between_outputs():
     g = build_time_grid(np.array([0.0, 0.3, 1.0]), 0.1)
     assert list(g.out_idx) == [0, 3, 10]
     assert g.n_steps == 10
+
+
+def test_inner_ksp_prefix_overrides():
+    """Inner-solver flags use the reference's pnode_inner_ prefix
+    (hpddm_linearsolve.py:15), overriding plain -ksp_* values."""
+    import jax.numpy as jnp
+
+    from pnode_tpu import Func, ODESolver
+
+    pnode_tpu.init(["p", "-ksp_rtol", "1e-6", "-pnode_inner_ksp_rtol", "1e-3"])
+    ode = ODESolver()
+    ode.setupTS(jnp.zeros(2), Func(lambda t, y, p: -y, {}), step_size=0.1,
+                method="cn", implicit_form=True)
+    assert ode.lin_cfg.rtol == 1e-3
+
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["p", "-ksp_rtol", "1e-6"])
+    ode2 = ODESolver()
+    ode2.setupTS(jnp.zeros(2), Func(lambda t, y, p: -y, {}), step_size=0.1,
+                 method="cn", implicit_form=True)
+    assert ode2.lin_cfg.rtol == 1e-6
