@@ -70,7 +70,7 @@ import numpy as np
 import optax
 
 from pnode_tpu import FlaxFunc, ODESolver
-from pnode_tpu.data import generate_ks_data
+from pnode_tpu.data import WindowedLoader, generate_ks_data
 from pnode_tpu.models import KSFuncEX, KSFuncIM, KSMLPFunc, KSSnodeFunc
 from pnode_tpu.utils import MetricsWriter, RunningAverageMeter
 
@@ -190,11 +190,17 @@ def main():
     writer = MetricsWriter(args.train_dir)
     loss_meter = RunningAverageMeter(0.97)
     step = 0
+    # native prefetching windowed loader (csrc/windowed_loader.cpp); batch
+    # assembly overlaps device compute, numpy fallback off-toolchain
+    train_loader = WindowedLoader(
+        u_train, window=W, batch=args.batch_size, seed=args.seed,
+        endpoint_only=args.time_window_endpoint,
+    )
     for epoch in range(start_epoch, args.max_epochs):
         t0 = time.time()
-        for y0, tgt in make_batches(
-            u_train, rng, W, args.batch_size, args.time_window_endpoint
-        ):
+        for y0_np, tgt_np in train_loader:
+            y0 = jnp.asarray(y0_np, dtype)
+            tgt = jnp.asarray(tgt_np, dtype)
             params, opt_state, loss = train_step(params, opt_state, y0, tgt)
             loss_meter.update(float(loss))
             writer.add_scalar("Train/Loss", float(loss), step)

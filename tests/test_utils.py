@@ -110,3 +110,21 @@ def test_solver_prefix_scoped_options():
                   implicit_form=True)
     assert outer.method == "4"
     assert inner.method == "cn"
+
+
+def test_windowed_loader_native_and_fallback():
+    from pnode_tpu.data import WindowedLoader, native_available
+
+    u = np.arange(60, dtype=np.float32).reshape(30, 2)
+    for use_native in ([True, False] if native_available() else [False]):
+        ld = WindowedLoader(u, window=3, batch=5, seed=0,
+                            use_native=use_native)
+        n = 0
+        for y0, tgt in ld:
+            assert y0.shape == (5, 2) and tgt.shape == (5, 3, 2)
+            for s in range(5):
+                i = int(y0[s, 0] // 2)
+                np.testing.assert_allclose(tgt[s, 0], u[i + 1])
+                np.testing.assert_allclose(tgt[s, 2], u[i + 3])
+            n += 1
+        assert n == ld.batches_per_epoch
