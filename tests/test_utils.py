@@ -128,3 +128,15 @@ def test_windowed_loader_native_and_fallback():
                 np.testing.assert_allclose(tgt[s, 2], u[i + 3])
             n += 1
         assert n == ld.batches_per_epoch
+
+
+def test_ks_generator_long_trajectories_finite():
+    """The L=22 Galerkin truncation blows up near t~370; the chunked
+    generator must stay finite for long datasets (regression for the NaN
+    validation data seen in training)."""
+    from pnode_tpu.data import generate_ks_data
+
+    u, dt = generate_ks_data(nx=64, n_samples=2500, dt_data=0.2, seed=3)
+    assert u.shape == (2500, 64)
+    assert np.isfinite(u).all()
+    assert 0.5 < u.std() < 5.0  # on the attractor, not collapsed/exploded
