@@ -325,3 +325,19 @@ def test_newton_solves_nonlinear_system():
     )
     np.testing.assert_allclose(residual(z), 0.0, atol=1e-10)
     assert bool(stats.converged)
+
+
+def test_ark_step_adjoint_recompute_path_matches_stored():
+    """aux=None (solution_only trajectories, adaptive adjoints) re-solves the
+    stages; gradients must match the stored-stage path exactly."""
+    tab = get_ark_tableau("3")
+    stepper = ARKIMEX(tab, f_im, f_ex, _default_setup())
+    t, dt = jnp.asarray(0.2), jnp.asarray(0.1)
+    lam = jnp.array([0.4, -0.2, 0.9])
+    _, aux, _ = stepper.step(t, dt, Y0, P_IMEX)
+    dly_a, g_a = stepper.step_adj(t, dt, Y0, P_IMEX, aux, lam)
+    dly_b, g_b = stepper.step_adj(t, dt, Y0, P_IMEX, None, lam)
+    np.testing.assert_allclose(dly_a, dly_b, rtol=1e-10)
+    for ga, gb in zip(jax.tree_util.tree_leaves(g_a),
+                      jax.tree_util.tree_leaves(g_b)):
+        np.testing.assert_allclose(ga, gb, rtol=1e-10)
