@@ -25,6 +25,10 @@ The TPU-native rebuild of PETSc TSSolve + TSAdjoint + TSTrajectory:
                           recomputes each segment forward (storing the
                           segment locally) then sweeps it — memory
                           O(c + N/c) instead of O(N).
+  * ``disk``           — stream every step-start state to a host memmap via
+                          ordered io_callback and read it back in reverse
+                          (-ts_trajectory_type disk, PETSc's default policy;
+                          requires a host-callback-capable backend).
 
 The whole driver is wrapped in ``jax.custom_vjp`` so that trajectory storage
 is exactly what the policy dictates rather than whatever XLA's autodiff
@@ -179,6 +183,69 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
         outputs, stats = solve_noadj(y0, params, ts, dts)
         return outputs, stats
 
+    # -- disk policy: host-memmap trajectory via io_callback ---------------
+
+    from . import disk_trajectory as _dt
+    from .options import Options as _Options
+
+    _disk_id = _dt.new_buffer_id() if traj.kind == "disk" else None
+    _disk_dir = _Options().get_string("ts_trajectory_dirname",
+                                      "./ts_trajectory")
+
+    def _disk_fwd(y0, params, ts, dts):
+        from jax.experimental import io_callback
+
+        out_nodes = jnp.asarray(out_idx)
+        stp = _prepare(y0, params, ts, dts)
+
+        def body(carry, x):
+            y, outputs = carry
+            k, t, dt = x
+            io_callback(
+                lambda kk, yy: _dt.write_step(_disk_id, n_steps, _disk_dir,
+                                              kk, yy),
+                jax.ShapeDtypeStruct((), jnp.int32), k, y, ordered=True,
+            )
+            y1, _, st = stp.step(t, dt, y, params)
+            hit = out_nodes == (k + 1)
+            outputs = jnp.where(
+                hit.reshape((-1,) + (1,) * y1.ndim), y1[None], outputs
+            )
+            return (y1, outputs), st
+
+        outputs0 = jnp.broadcast_to(y0, (len(out_idx),) + y0.shape).astype(
+            y0.dtype
+        )
+        ks = jnp.arange(n_steps)
+        (y_final, outputs), stats = lax.scan(
+            body, (y0, outputs0), (ks, ts, dts)
+        )
+        return outputs, _sum_stats(stats)
+
+    def _disk_bwd(y0, params, ts, dts, force, lam, gp0):
+        from jax.experimental import io_callback
+
+        stp = _prepare(y0, params, ts, dts)
+        template = jax.ShapeDtypeStruct(y0.shape, y0.dtype)
+
+        def body(carry, x):
+            lam_c, gp_c = carry
+            k, t_k, dt_k, f_k = x
+            y_k = io_callback(
+                lambda kk: _dt.read_step(_disk_id, kk,
+                                         np.zeros(y0.shape, y0.dtype)),
+                template, k, ordered=True,
+            )
+            lam_new, gstep = stp.step_adj(t_k, dt_k, y_k, params, None, lam_c)
+            lam_new = lam_new + f_k
+            return (lam_new, tree_add(gp_c, gstep)), None
+
+        ks = jnp.arange(n_steps)
+        (lam, gp), _ = lax.scan(
+            body, (lam, gp0), (ks, ts, dts, force[:-1]), reverse=True
+        )
+        return lam, gp
+
     # -- revolve policy: optimal binomial checkpointing ---------------------
 
     def _revolve_bwd(y0, params, ts, dts, force, lam, gp0):
@@ -225,6 +292,9 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
         return lam, gp
 
     def solve_fwd(y0, params, ts, dts):
+        if traj.kind == "disk" and n_steps > 0:
+            outputs, stats = _disk_fwd(y0, params, ts, dts)
+            return (outputs, stats), (y0, params, ts, dts, None)
         if traj.kind == "revolve" and n_steps > 0:
             outputs, stats = solve_noadj(y0, params, ts, dts)
             return (outputs, stats), (y0, params, ts, dts, None)
@@ -293,6 +363,9 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
 
         lam = force[n_steps]
 
+        if traj.kind == "disk":
+            lam, gp = _disk_bwd(y0, params, ts, dts, force, lam, gp0)
+            return lam, gp, jnp.zeros_like(ts), jnp.zeros_like(dts)
         if traj.kind == "revolve":
             lam, gp = _revolve_bwd(y0, params, ts, dts, force, lam, gp0)
             return lam, gp, jnp.zeros_like(ts), jnp.zeros_like(dts)

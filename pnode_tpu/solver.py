@@ -185,11 +185,10 @@ class ODESolver:
         if tt not in ("memory", "disk"):
             warnings.warn(f"-ts_trajectory_type {tt!r} unknown; using memory")
         elif tt == "disk":
-            warnings.warn(
-                "-ts_trajectory_type disk is not implemented yet; the "
-                "in-memory policy (with -ts_trajectory_max_cps_ram budgeting) "
-                "is used instead"
-            )
+            # stream states to a host memmap (PETSc's default trajectory
+            # backend); needs host-callback support (CPU yes; the sandbox's
+            # tunneled TPU no — use checkpoint/revolve there)
+            traj_kind = "disk"
         self.traj = TrajectoryConfig(kind=traj_kind, max_cps=max_cps or 0)
 
         self.adapt_type = self.opts.get_string("ts_adapt_type", "none")

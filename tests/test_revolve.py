@@ -102,3 +102,38 @@ def test_revolve_policy_implicit_cn():
          "-ts_trajectory_schedule", "revolve"]
     )
     np.testing.assert_allclose(g_rev["k"], g_ref["k"], rtol=1e-9)
+
+
+def test_disk_trajectory_policy_gradients_match():
+    """-ts_trajectory_type disk streams states to a host memmap (PETSc's
+    default backend); gradients must match the in-memory policy."""
+    import shutil
+
+    def f(t, y, p):
+        return p["a"] * y + p["b"] * jnp.sin(y)
+
+    P = {"a": jnp.array(-0.5), "b": jnp.array(0.3)}
+    y0 = jnp.array([1.0, -0.4])
+    t = jnp.asarray([0.0, 0.5, 1.0])
+
+    def grad_with(flags):
+        pnode_tpu.clear_options()
+        pnode_tpu.init(["p"] + flags)
+        ode = ODESolver()
+        ode.setupTS(y0, Func(f, P), step_size=0.1, method="rk4")
+
+        def loss(p):
+            sol = ode.odeint_adjoint(y0, t, params=p)
+            return jnp.sum(sol[-1] ** 2) + jnp.sum(sol[1] ** 2)
+
+        return loss(P), jax.grad(loss)(P)
+
+    l_ref, g_ref = grad_with([])
+    l_dsk, g_dsk = grad_with(
+        ["-ts_trajectory_type", "disk",
+         "-ts_trajectory_dirname", "/tmp/pnode_traj_test"]
+    )
+    np.testing.assert_allclose(float(l_dsk), float(l_ref), rtol=1e-12)
+    np.testing.assert_allclose(g_dsk["a"], g_ref["a"], rtol=1e-10)
+    np.testing.assert_allclose(g_dsk["b"], g_ref["b"], rtol=1e-10)
+    shutil.rmtree("/tmp/pnode_traj_test", ignore_errors=True)
