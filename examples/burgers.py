@@ -99,15 +99,29 @@ def main():
     params = (vim, vex)
 
     ode = ODESolver()
-    ode.setupTS(
-        y_tmpl, FlaxFunc(im, vim), step_size=args.step_size,
-        method=args.method if args.imex else "cn",
-        imex_form=args.imex, implicit_form=True,
-        func2=FlaxFunc(ex, vex) if args.imex else None,
-        linear_solver=args.linear_solver, fixed_jacobian=args.fixed_jacobian,
-        batch_size=args.batch_size,
-        enable_adjoint=not args.node,
-    )
+    if args.node:
+        # torchdiffeq-analogue baseline: integrate the COMBINED rhs with an
+        # explicit method and differentiate straight through the solver
+        # (the reference's --node path does the same with torchdiffeq,
+        # Burgers.py:437-448)
+        def combined(t, y, p):
+            pim, pex = p
+            return im.apply(pim, t, y) + ex.apply(pex, t, y)
+
+        ode.setupTS(
+            y_tmpl, (combined, params), step_size=args.step_size,
+            method="dopri5", enable_adjoint=False,
+        )
+    else:
+        ode.setupTS(
+            y_tmpl, FlaxFunc(im, vim), step_size=args.step_size,
+            method=args.method if args.imex else "cn",
+            imex_form=args.imex, implicit_form=True,
+            func2=FlaxFunc(ex, vex) if args.imex else None,
+            linear_solver=args.linear_solver,
+            fixed_jacobian=args.fixed_jacobian,
+            batch_size=args.batch_size,
+        )
 
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)

@@ -127,12 +127,25 @@ def main():
         vim = to_jax_tree(im.init(key, 0.0, y_tmpl), dtype)
         vex = to_jax_tree(ex.init(key, 0.0, y_tmpl), dtype)
         params = (vim, vex)
-        ode.setupTS(
-            y_tmpl, FlaxFunc(im, vim), step_size=args.step_size, method="imex",
-            imex_form=True, implicit_form=True, func2=FlaxFunc(ex, vex),
-            linear_solver=args.linear_solver, fixed_jacobian=args.fixed_jacobian,
-            batch_size=args.batch_size,
-        )
+        if args.node:
+            # autodiff baseline integrates the combined rhs explicitly
+            # (differentiating through implicit Newton solves is the
+            # discrete adjoint's job, not plain autodiff's)
+            def combined(t, y, p):
+                pim, pex = p
+                return im.apply(pim, t, y) + ex.apply(pex, t, y)
+
+            ode.setupTS(y_tmpl, (combined, params),
+                        step_size=args.step_size / 100, method="dopri5",
+                        enable_adjoint=False)
+        else:
+            ode.setupTS(
+                y_tmpl, FlaxFunc(im, vim), step_size=args.step_size,
+                method="imex", imex_form=True, implicit_form=True,
+                func2=FlaxFunc(ex, vex), linear_solver=args.linear_solver,
+                fixed_jacobian=args.fixed_jacobian,
+                batch_size=args.batch_size,
+            )
     else:
         mod = (
             KSSnodeFunc(nx=NX, L=L) if args.pnode_model == "snode"

@@ -55,11 +55,13 @@ def newton_solve(
     r0norm = jnp.linalg.norm(r0)
 
     if cfg.ksponly:
+        # single linearized solve; no post-solve residual evaluation (it
+        # would cost one extra f evaluation per stage purely for telemetry —
+        # PETSc's ksponly likewise declares convergence unconditionally)
         delta = make_solver(z0).solve(r0)
         z = z0 - delta
-        rnorm = jnp.linalg.norm(residual(z))
         return z, NewtonStats(
-            iters=jnp.array(1), resnorm=rnorm, converged=jnp.array(True)
+            iters=jnp.array(1), resnorm=r0norm, converged=jnp.array(True)
         )
 
     target = jnp.maximum(cfg.rtol * r0norm, cfg.atol)
