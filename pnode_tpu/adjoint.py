@@ -54,8 +54,13 @@ from .steppers import StepStats
 class TrajectoryConfig:
     """Static trajectory policy (from -ts_trajectory_* flags)."""
 
-    kind: str = "store_all"  # store_all | solution_only | checkpoint | revolve
+    kind: str = "store_all"  # store_all|solution_only|checkpoint|revolve|disk
     max_cps: int = 0          # used when kind is "checkpoint" or "revolve"
+    # storage dtype for checkpointed states ("" = native). bf16 halves HBM
+    # trajectory footprint on TPU; states are re-expanded before the stage
+    # transposes (a TPU-native compression knob PETSc has no analogue for;
+    # gradient perturbation ~ bf16 eps, acceptable for fp32 training)
+    store_dtype: str = ""
 
 
 class SolveStats(NamedTuple):
@@ -82,6 +87,13 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
     n_steps = int(grid.n_steps)
     out_idx = np.asarray(grid.out_idx)
     store_aux = traj.kind == "store_all"
+    _store_dt = jnp.dtype(traj.store_dtype) if traj.store_dtype else None
+
+    def _compress(x):
+        return x if _store_dt is None else x.astype(_store_dt)
+
+    def _expand(x, like):
+        return x if _store_dt is None else x.astype(like.dtype)
     # static fact: uniform step size lets implicit steppers pre-invert their
     # stage operators once per solve (see ImplicitSolveSetup.solver_cache)
     uniform_dt = n_steps > 0 and bool(
@@ -111,7 +123,9 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
         def body(y, x):
             t, dt = x
             y1, aux, st = stp.step(t, dt, y, params)
-            out = (y, aux, st) if store_aux else (y, st)
+            y_c = _compress(y)
+            aux_c = jax.tree_util.tree_map(_compress, aux)
+            out = (y_c, aux_c, st) if store_aux else (y_c, st)
             return y1, out
 
         y_final, outs = lax.scan(body, y0, (ts, dts))
@@ -165,6 +179,8 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
             else:
                 y_k, t_k, dt_k, f_k = x
                 aux_k = None
+            y_k = _expand(y_k, lam)
+            aux_k = jax.tree_util.tree_map(lambda a: _expand(a, lam), aux_k)
             lam_new, gstep = stp.step_adj(t_k, dt_k, y_k, params, aux_k, lam)
             lam_new = lam_new + f_k
             gp = tree_add(gp, gstep)
@@ -343,7 +359,19 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
             return (outputs, _sum_stats(stats_flat)), (y0, params, ts, dts, cps)
 
         y_final, y_hist, aux_hist, stats = fwd_scan_collect(y0, params, ts, dts)
-        outputs = gather_outputs(y0, y_hist, y_final)
+        if _store_dt is None:
+            outputs = gather_outputs(y0, y_hist, y_final)
+        else:
+            # outputs must stay full precision: gather from expanded states
+            states = jnp.concatenate(
+                [jax.tree_util.tree_map(lambda a: _expand(a, y0), y_hist),
+                 y_final[None]], axis=0,
+            )
+            outputs = states.at[0].set(y0)[jnp.asarray(out_idx)] if n_steps > 0 else jnp.stack([y0 for _ in out_idx])
+            # NOTE: interior outputs pass through the compressed store; the
+            # final state is exact. Acceptable for training losses on the
+            # endpoint; avoid compression when interior outputs feed losses
+            # needing full precision.
         res = (y0, params, ts, dts, (y_hist, aux_hist))
         return (outputs, _sum_stats(stats)), res
 

@@ -189,7 +189,10 @@ class ODESolver:
             # backend); needs host-callback support (CPU yes; the sandbox's
             # tunneled TPU no — use checkpoint/revolve there)
             traj_kind = "disk"
-        self.traj = TrajectoryConfig(kind=traj_kind, max_cps=max_cps or 0)
+        self.traj = TrajectoryConfig(
+            kind=traj_kind, max_cps=max_cps or 0,
+            store_dtype=self.opts.get_string("pnode_trajectory_dtype", ""),
+        )
 
         self.adapt_type = self.opts.get_string("ts_adapt_type", "none")
         self.max_steps = self.opts.get_int("ts_max_steps", 1_000_000)

@@ -137,3 +137,31 @@ def test_disk_trajectory_policy_gradients_match():
     np.testing.assert_allclose(g_dsk["a"], g_ref["a"], rtol=1e-10)
     np.testing.assert_allclose(g_dsk["b"], g_ref["b"], rtol=1e-10)
     shutil.rmtree("/tmp/pnode_traj_test", ignore_errors=True)
+
+
+def test_bf16_trajectory_compression():
+    """-pnode_trajectory_dtype bfloat16 halves trajectory storage; gradients
+    stay within bf16-perturbation distance of the exact ones."""
+    def f(t, y, p):
+        return p["a"] * y + p["b"] * jnp.tanh(y)
+
+    P = {"a": jnp.array(-0.5, jnp.float32), "b": jnp.array(0.3, jnp.float32)}
+    y0 = jnp.array([1.0, -0.4], jnp.float32)
+    t = jnp.asarray([0.0, 1.0])
+
+    def grad_with(flags):
+        pnode_tpu.clear_options()
+        pnode_tpu.init(["p"] + flags)
+        ode = ODESolver()
+        ode.setupTS(y0, Func(f, P), step_size=0.05, method="rk4")
+
+        def loss(p):
+            sol = ode.odeint_adjoint(y0, t, params=p)
+            return jnp.sum(sol[-1] ** 2)
+
+        return jax.grad(loss)(P)
+
+    g_ref = grad_with([])
+    g_c = grad_with(["-pnode_trajectory_dtype", "bfloat16"])
+    np.testing.assert_allclose(g_c["a"], g_ref["a"], rtol=2e-2)
+    np.testing.assert_allclose(g_c["b"], g_ref["b"], rtol=2e-2)
