@@ -165,3 +165,60 @@ def test_bf16_trajectory_compression():
     g_c = grad_with(["-pnode_trajectory_dtype", "bfloat16"])
     np.testing.assert_allclose(g_c["a"], g_ref["a"], rtol=2e-2)
     np.testing.assert_allclose(g_c["b"], g_ref["b"], rtol=2e-2)
+
+
+def test_disk_policy_with_implicit_cn():
+    """disk trajectory + implicit stepper: bwd re-solves Newton per step."""
+    import shutil
+
+    def f(t, y, p):
+        return -p["k"] * y**3
+
+    P = {"k": jnp.array(1.5)}
+    y0 = jnp.array([1.0, 0.6])
+    t = jnp.asarray([0.0, 0.6])
+
+    def grad_with(flags):
+        pnode_tpu.clear_options()
+        pnode_tpu.init(["p"] + flags)
+        ode = ODESolver()
+        ode.setupTS(y0, Func(f, P), step_size=0.1, method="cn",
+                    implicit_form=True)
+
+        def loss(p):
+            sol = ode.odeint_adjoint(y0, t, params=p)
+            return jnp.sum(sol[-1] ** 2)
+
+        return jax.grad(loss)(P)
+
+    g_ref = grad_with([])
+    g_dsk = grad_with(["-ts_trajectory_type", "disk",
+                       "-ts_trajectory_dirname", "/tmp/pnode_traj_cn"])
+    np.testing.assert_allclose(g_dsk["k"], g_ref["k"], rtol=1e-9)
+    shutil.rmtree("/tmp/pnode_traj_cn", ignore_errors=True)
+
+
+def test_bf16_compression_with_solution_only():
+    def f(t, y, p):
+        return p["a"] * jnp.sin(y)
+
+    P = {"a": jnp.array(-0.8, jnp.float32)}
+    y0 = jnp.array([1.2, -0.3], jnp.float32)
+    t = jnp.asarray([0.0, 1.0])
+
+    def grad_with(flags):
+        pnode_tpu.clear_options()
+        pnode_tpu.init(["p"] + flags)
+        ode = ODESolver()
+        ode.setupTS(y0, Func(f, P), step_size=0.05, method="bosh3")
+
+        def loss(p):
+            sol = ode.odeint_adjoint(y0, t, params=p)
+            return jnp.sum(sol[-1] ** 2)
+
+        return jax.grad(loss)(P)
+
+    g_ref = grad_with([])
+    g_c = grad_with(["-pnode_trajectory_dtype", "bfloat16",
+                     "-ts_trajectory_solution_only", "1"])
+    np.testing.assert_allclose(g_c["a"], g_ref["a"], rtol=2e-2)
