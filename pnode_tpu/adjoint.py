@@ -54,8 +54,8 @@ from .steppers import StepStats
 class TrajectoryConfig:
     """Static trajectory policy (from -ts_trajectory_* flags)."""
 
-    kind: str = "store_all"  # store_all|solution_only|checkpoint|revolve|disk
-    max_cps: int = 0          # used when kind is "checkpoint" or "revolve"
+    kind: str = "store_all"  # store_all|solution_only|checkpoint|revolve|cams|disk
+    max_cps: int = 0          # used when kind is "checkpoint"/"revolve"/"cams"
     # storage dtype for checkpointed states ("" = native). bf16 halves HBM
     # trajectory footprint on TPU; states are re-expanded before the stage
     # transposes (a TPU-native compression knob PETSc has no analogue for;
@@ -307,7 +307,170 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
                 store.pop(k, None)
         return lam, gp
 
+    # -- CAMS policy: optimal multistage checkpointing -----------------------
+    #
+    # Unlike revolve (which replays the whole descent from y0), the CAMS
+    # schedule stores checkpoints DURING the original forward pass and mixes
+    # solution checkpoints with stage-set checkpoints whose adjoint needs no
+    # recomputation (csrc/cams.cpp documents the cost model; the plan is
+    # exhaustively-verified optimal). PETSc exposes the same capability via
+    # TSTrajectory's CAMS schedules (/root/reference/README.md:91-100).
+
+    def _cams_weight(y0, params, ts, dts):
+        """Stage-checkpoint weight: 1 + ceil(aux units / state units)."""
+        stp = _prepare(y0, params, ts, dts)
+        _, aux_shape, _ = jax.eval_shape(
+            lambda y: stp.step(ts[0], dts[0], y, params), y0
+        )
+        aux_sz = sum(
+            int(np.prod(a.shape))
+            for a in jax.tree_util.tree_leaves(aux_shape)
+        )
+        return 1 + max(1, math.ceil(aux_sz / max(1, y0.size)))
+
+    def _cams_plan(y0, params, ts, dts):
+        from . import cams as cm
+
+        w = _cams_weight(y0, params, ts, dts)
+        m = max(1, int(traj.max_cps))
+        return cm.cams_plan(n_steps, m, w)
+
+    def _cams_fwd(y0, params, ts, dts):
+        from . import cams as cm
+
+        plan_fwd, _ = _cams_plan(y0, params, ts, dts)
+        stp = _prepare(y0, params, ts, dts)
+        out_nodes = jnp.asarray(out_idx)
+        outputs = jnp.broadcast_to(y0, (len(out_idx),) + y0.shape).astype(
+            y0.dtype
+        )
+
+        def _hit(outputs, node, y):
+            hit = out_nodes == node
+            return jnp.where(
+                hit.reshape((-1,) + (1,) * y.ndim), y[None], outputs
+            )
+
+        def _advance(y, outputs, a, b):
+            if b <= a:
+                return y, outputs, None
+
+            def body(carry, x):
+                yc, oc = carry
+                k, t, dt = x
+                y1, _, st = stp.step(t, dt, yc, params)
+                oc = _hit(oc, k + 1, y1)
+                return (y1, oc), st
+
+            ks = jnp.arange(a, b)
+            (y, outputs), st = lax.scan(
+                body, (y, outputs), (ks, ts[a:b], dts[a:b])
+            )
+            return y, outputs, st
+
+        sols = {}
+        stages = {}
+        stats_parts = []
+        y, pos = y0, 0
+        for op, k in plan_fwd:
+            y, outputs, st = _advance(y, outputs, pos, k)
+            if st is not None:
+                stats_parts.append(st)
+            pos = k
+            if op == cm.STORE:
+                sols[k] = _compress(y)
+            elif op == cm.CAPTURE:
+                y1, aux, st1 = stp.step(ts[k], dts[k], y, params)
+                stages[k] = (
+                    _compress(y),
+                    jax.tree_util.tree_map(_compress, aux),
+                )
+                outputs = _hit(outputs, k + 1, y1)
+                stats_parts.append(
+                    StepStats(
+                        newton_iters=st1.newton_iters[None],
+                        newton_converged=st1.newton_converged[None],
+                    )
+                )
+                y, pos = y1, k + 1
+        y, outputs, st = _advance(y, outputs, pos, n_steps)
+        if st is not None:
+            stats_parts.append(st)
+        stats = StepStats(
+            newton_iters=jnp.concatenate(
+                [s.newton_iters for s in stats_parts]
+            ) if stats_parts else jnp.zeros((0,), jnp.int32),
+            newton_converged=jnp.concatenate(
+                [s.newton_converged.reshape(-1) for s in stats_parts]
+            ) if stats_parts else jnp.ones((0,), bool),
+        )
+        return outputs, _sum_stats(stats), (sols, stages)
+
+    def _cams_bwd(y0, params, ts, dts, force, lam, gp0, stored):
+        from . import cams as cm
+
+        _, plan_rev = _cams_plan(y0, params, ts, dts)
+        stp = _prepare(y0, params, ts, dts)
+        sols = dict(stored[0])
+        stages = dict(stored[1])
+        sols.setdefault(0, y0)
+        gp = gp0
+        cursor_node, cursor = 0, y0
+
+        def advance(state, a, b):
+            if b - a == 1:
+                y1, _, _ = stp.step(ts[a], dts[a], state, params)
+                return y1
+
+            def body(y, x):
+                t, dt = x
+                y1, _, _ = stp.step(t, dt, y, params)
+                return y1, None
+
+            out, _ = lax.scan(body, state, (ts[a:b], dts[a:b]))
+            return out
+
+        for op, k in plan_rev:
+            if op == cm.RESTORE:
+                raw = sols[k] if k in sols else stages[k][0]
+                cursor_node, cursor = k, _expand(raw, lam)
+            elif op == cm.ADVANCE:
+                cursor = advance(cursor, cursor_node, k)
+                cursor_node = k
+            elif op == cm.STORE:
+                sols[k] = _compress(cursor)
+            elif op == cm.REVERSE:
+                lam_new, gstep = stp.step_adj(
+                    ts[k], dts[k], cursor, params, None, lam
+                )
+                lam = lam_new + force[k]
+                gp = tree_add(gp, gstep)
+            elif op == cm.CAPTURE:
+                y1, aux, _ = stp.step(ts[k], dts[k], cursor, params)
+                stages[k] = (
+                    _compress(cursor),
+                    jax.tree_util.tree_map(_compress, aux),
+                )
+                cursor_node, cursor = k + 1, y1
+            elif op == cm.REVERSE_STAGE:
+                y_k, aux_k = stages.pop(k)
+                y_k = _expand(y_k, lam)
+                aux_k = jax.tree_util.tree_map(
+                    lambda a: _expand(a, lam), aux_k
+                )
+                lam_new, gstep = stp.step_adj(
+                    ts[k], dts[k], y_k, params, aux_k, lam
+                )
+                lam = lam_new + force[k]
+                gp = tree_add(gp, gstep)
+            elif op == cm.DROP:
+                sols.pop(k, None)
+        return lam, gp
+
     def solve_fwd(y0, params, ts, dts):
+        if traj.kind == "cams" and n_steps > 0:
+            outputs, stats, stored = _cams_fwd(y0, params, ts, dts)
+            return (outputs, stats), (y0, params, ts, dts, stored)
         if traj.kind == "disk" and n_steps > 0:
             outputs, stats = _disk_fwd(y0, params, ts, dts)
             return (outputs, stats), (y0, params, ts, dts, None)
@@ -391,6 +554,11 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
 
         lam = force[n_steps]
 
+        if traj.kind == "cams":
+            lam, gp = _cams_bwd(
+                y0, params, ts, dts, force, lam, gp0, stored
+            )
+            return lam, gp, jnp.zeros_like(ts), jnp.zeros_like(dts)
         if traj.kind == "disk":
             lam, gp = _disk_bwd(y0, params, ts, dts, force, lam, gp0)
             return lam, gp, jnp.zeros_like(ts), jnp.zeros_like(dts)

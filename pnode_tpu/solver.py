@@ -178,9 +178,15 @@ class ODESolver:
         max_cps = self.opts.get_int("ts_trajectory_max_cps_ram", 0)
         if max_cps and max_cps > 0:
             # uniform segments by default; "revolve" selects the optimal
-            # binomial schedule from the native planner (csrc/revolve.cpp)
+            # binomial schedule (csrc/revolve.cpp); "cams" the optimal
+            # multistage mixed solution/stage-set schedule (csrc/cams.cpp),
+            # PETSc TSTrajectory's revolve/CAMS pair
+            # (/root/reference/README.md:91-100)
             sched = self.opts.get_string("ts_trajectory_schedule", "uniform")
-            traj_kind = "revolve" if sched == "revolve" else "checkpoint"
+            if sched in ("revolve", "cams"):
+                traj_kind = sched
+            else:
+                traj_kind = "checkpoint"
         tt = self.opts.get_string("ts_trajectory_type", "memory")
         if tt not in ("memory", "disk"):
             warnings.warn(f"-ts_trajectory_type {tt!r} unknown; using memory")
