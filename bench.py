@@ -1,17 +1,27 @@
-"""Benchmark: KS SINODE training throughput (the reference's headline config).
+"""Benchmarks: KS SINODE throughput (headline), Burgers 512, CIFAR-10 epoch.
 
-Measures full training steps/sec (forward IMEX solve + discrete adjoint +
-Adam update) for the KS workload at the reference's A100 configuration
-(/root/reference/examples-sinode/KS/runs64_a100.sh: 64-point grid, batch 256,
-dt 0.2, ARKIMEX) on whatever backend JAX selects (the driver runs this on one
-real TPU chip).
+Workloads (select with --workload; default ks prints the ONE JSON line the
+round driver records):
 
-Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+- ks      : full training steps/sec (IMEX forward + discrete adjoint + Adam)
+            at the reference's headline A100 config
+            (/root/reference/examples-sinode/KS/runs64_a100.sh: 64-point
+            grid, batch 256, dt 0.2, ARKIMEX).
+- burgers : same metric at the Burgers 512-point, batch-200 config
+            (/root/reference/examples-sinode/Burgers/run_a100_512.sh) — a
+            FLOP-heavier workload where throughput, not dispatch latency,
+            dominates.
+- cifar   : CIFAR-10 ODE-net (SqNxt-23) epoch wall-time at the reference's
+            memstat protocol (train-Cifar10.py:415-433): batch 128,
+            390 iters/epoch (50k/128), dopri5/rk4 ODE blocks.
 
-The reference repo publishes no wall-clock numbers (BASELINE.md: "measured at
-run time; no stored values in repo"), so vs_baseline is reported against the
-first recorded round of this framework (BENCH_r1.json) when present, else 1.0.
+Each workload times ≥5 windows and reports the MEDIAN with dispersion on
+stderr (the tunneled chip shows 15-30% host-side variance; the best window
+is also printed for comparison with earlier rounds).
+
+The reference repo publishes no wall-clock numbers (BASELINE.md), so
+vs_baseline compares against this framework's first recorded round
+(BENCH_r1.json) when present, else 1.0.
 """
 
 from __future__ import annotations
@@ -19,46 +29,63 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true", help="fewer timed steps")
-    ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--nx", type=int, default=64)
-    ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--no_pallas", action="store_true")
-    args, unknown = ap.parse_known_args()
+def _windows(step_fn, n_steps, n_windows, block):
+    rates = []
+    for rep in range(n_windows):
+        t0 = time.time()
+        for _ in range(n_steps):
+            out = step_fn()
+        block(out)
+        dt_wall = time.time() - t0
+        rates.append(n_steps / dt_wall)
+        print(
+            f"window {rep}: {n_steps} steps in {dt_wall:.3f}s "
+            f"({rates[-1]:.2f}/s)",
+            file=sys.stderr,
+        )
+    med = statistics.median(rates)
+    print(
+        f"median {med:.2f}/s  best {max(rates):.2f}/s  "
+        f"min {min(rates):.2f}/s  (n={len(rates)})",
+        file=sys.stderr,
+    )
+    return med, max(rates)
 
+
+def bench_sinode(args, nx, batch, dt, metric):
+    """KS/Burgers SINODE training throughput (shared harness)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     import pnode_tpu
     from pnode_tpu import FlaxFunc, ODESolver
-    from pnode_tpu.models import KSFuncEX, KSFuncIM
+    from pnode_tpu.models import BurgersFuncEX, BurgersFuncIM, KSFuncEX, KSFuncIM
 
-    pnode_tpu.init([sys.argv[0]] + unknown)
     dtype = jnp.float32
-    batch, nx = args.batch, args.nx
     n_steps = 10 if args.quick else args.steps
 
-    print(f"benchmark device: {jax.devices()[0]}", file=sys.stderr)
-
     # production stiff config: single linearized solve per implicit stage,
-    # shared-block LU (the linear KS stencil makes it exact)
+    # shared-block LU (the linear stencil operators make it exact)
     pnode_tpu.set_option("snes_type", "ksponly")
     pnode_tpu.set_option("ksp_rtol", "1e-6")
-    use_pallas = (not args.no_pallas) and jax.default_backend() in ("tpu", "axon")
+    use_pallas = (not args.no_pallas) and jax.default_backend() in (
+        "tpu", "axon"
+    )
 
-    # note: f_im stays on the roll-chain path: its Jacobian is assembled
-    # with jacfwd, and custom_vjp Pallas ops do not support forward-mode
-    im = KSFuncIM(nx=nx)
-    ex = KSFuncEX(nx=nx, use_pallas=use_pallas)
     key = jax.random.PRNGKey(0)
     y_tmpl = jnp.zeros((batch, nx), dtype)
+    if metric.startswith("ks"):
+        im = KSFuncIM(nx=nx)
+        ex = KSFuncEX(nx=nx, use_pallas=use_pallas)
+    else:
+        im = BurgersFuncIM(nx=nx)
+        ex = BurgersFuncEX(nx=nx, use_pallas=use_pallas)
     vim = jax.tree_util.tree_map(
         lambda a: a.astype(dtype), im.init(key, 0.0, y_tmpl)
     )
@@ -70,7 +97,7 @@ def main():
     ode.setupTS(
         y_tmpl,
         FlaxFunc(im, vim),
-        step_size=0.2,
+        step_size=dt,
         method="imex",
         imex_form=True,
         implicit_form=True,
@@ -80,8 +107,7 @@ def main():
         batch_size=batch,
     )
 
-    # one training window: predict the next dt_data (time_window_size=1)
-    t_out = jnp.array([0.0, 0.2])
+    t_out = jnp.array([0.0, dt])
     params = (vim, vex)
     opt = optax.adam(5e-3)
 
@@ -100,50 +126,143 @@ def main():
     target = y0 + 0.05 * jax.random.normal(k2, (batch, nx), dtype)
     opt_state = opt.init(params)
 
-    # warmup (compile)
+    state = {"p": params, "s": opt_state}
+
+    def step():
+        state["p"], state["s"], loss = train_step(
+            state["p"], state["s"], y0, target
+        )
+        return loss
+
+    import jax as _j
+
     t0 = time.time()
-    params, opt_state, loss = train_step(params, opt_state, y0, target)
-    jax.block_until_ready(loss)
+    _j.block_until_ready(step())
     print(f"compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
     for _ in range(2):
-        params, opt_state, loss = train_step(params, opt_state, y0, target)
-    jax.block_until_ready(loss)
+        step()
+    _j.block_until_ready(step())
 
-    # three timing windows, best-of (the tunneled chip shows ~15% run-to-run
-    # variance from host-side hiccups; max filters them, losses are
-    # deterministic regardless)
-    rates = []
-    for rep in range(3):
-        t0 = time.time()
-        for _ in range(n_steps):
-            params, opt_state, loss = train_step(params, opt_state, y0, target)
-        jax.block_until_ready(loss)
-        dt_wall = time.time() - t0
-        rates.append(n_steps / dt_wall)
-        print(
-            f"window {rep}: {n_steps} steps in {dt_wall:.3f}s "
-            f"({rates[-1]:.1f}/s); loss {float(loss):.6f}",
-            file=sys.stderr,
+    med, best = _windows(step, n_steps, args.windows, _j.block_until_ready)
+    return med, best
+
+
+def bench_cifar(args):
+    """CIFAR-10 ODE-net epoch wall-time (reference memstat protocol)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pnode_tpu.models.sqnxt import SqueezeNextODE
+
+    batch = 128
+    iters_per_epoch = 390  # 50k / 128, the reference's full-epoch loop
+    model = SqueezeNextODE(
+        num_classes=10, width_x=1.0, method=args.cifar_method, Nt=args.cifar_nt
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 32, 32, 3)).astype("float32"))
+    y = jnp.asarray(rng.integers(0, 10, size=(batch,)))
+    params = model.init(jax.random.PRNGKey(0), x)
+    opt = optax.sgd(0.1, momentum=0.9)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(p, s, xb, yb):
+        def loss_fn(pp):
+            logits = model.apply(pp, xb, training=True)
+            onehot = jax.nn.one_hot(yb, 10)
+            return -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), -1))
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s, loss
+
+    state = {"p": params, "s": opt_state}
+
+    def step():
+        state["p"], state["s"], loss = train_step(state["p"], state["s"], x, y)
+        return loss
+
+    t0 = time.time()
+    jax.block_until_ready(step())
+    print(f"compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
+    jax.block_until_ready(step())
+
+    n_steps = 20 if args.quick else args.steps
+    med, best = _windows(step, n_steps, args.windows, jax.block_until_ready)
+    # epoch time = full train loop at the reference protocol
+    epoch_s = iters_per_epoch / med
+    print(
+        f"epoch projection: {iters_per_epoch} iters / {med:.2f} it/s "
+        f"= {epoch_s:.1f}s (best-window {iters_per_epoch / best:.1f}s)",
+        file=sys.stderr,
+    )
+    return med, best, epoch_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", choices=["ks", "burgers", "cifar"],
+                    default="ks")
+    ap.add_argument("--quick", action="store_true", help="fewer timed steps")
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--windows", type=int, default=5)
+    ap.add_argument("--no_pallas", action="store_true")
+    ap.add_argument("--cifar_nt", type=int, default=2)
+    ap.add_argument("--cifar_method", type=str, default="rk4")
+    args, unknown = ap.parse_known_args()
+
+    import jax
+
+    import pnode_tpu
+
+    pnode_tpu.init([sys.argv[0]] + unknown)
+    print(f"benchmark device: {jax.devices()[0]}", file=sys.stderr)
+
+    if args.workload == "ks":
+        med, best = bench_sinode(
+            args, nx=64, batch=256, dt=0.2,
+            metric="ks_sinode_train_steps_per_sec_b256_nx64_imex",
         )
-    steps_per_sec = max(rates)
+        metric = "ks_sinode_train_steps_per_sec_b256_nx64_imex"
+        value = best  # comparable with rounds 1+ (best-of-window convention)
+        unit = "steps/s"
+    elif args.workload == "burgers":
+        med, best = bench_sinode(
+            args, nx=512, batch=200, dt=1e-3,
+            metric="burgers_sinode_train_steps_per_sec_b200_nx512_imex",
+        )
+        metric = "burgers_sinode_train_steps_per_sec_b200_nx512_imex"
+        value = med
+        unit = "steps/s"
+    else:
+        med, best, epoch_s = bench_cifar(args)
+        metric = (
+            f"cifar10_odenet_epoch_seconds_b128_nt{args.cifar_nt}_"
+            f"{args.cifar_method}"
+        )
+        value = epoch_s
+        unit = "s/epoch"
 
     vs_baseline = 1.0
     base_path = os.path.join(os.path.dirname(__file__), "BENCH_r1.json")
-    if os.path.exists(base_path):
+    if args.workload == "ks" and os.path.exists(base_path):
         try:
             with open(base_path) as f:
                 base = json.load(f)
             if base.get("value"):
-                vs_baseline = steps_per_sec / float(base["value"])
+                vs_baseline = value / float(base["value"])
         except Exception:
             pass
 
     print(
         json.dumps(
             {
-                "metric": "ks_sinode_train_steps_per_sec_b256_nx64_imex",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/s",
+                "metric": metric,
+                "value": round(value, 3),
+                "unit": unit,
                 "vs_baseline": round(vs_baseline, 3),
             }
         )

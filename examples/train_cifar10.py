@@ -88,18 +88,25 @@ def load_cifar10(data_dir):
         return x_tr, y_tr, x_te, y_te, True
 
 
-def augment(rng, x):
-    """Random crop (pad 4) + horizontal flip, matching the torch transforms."""
+def augment_device(key, x):
+    """Random crop (pad 4) + horizontal flip, matching the torch transforms.
+
+    Device-side (vmapped dynamic_slice + where): the round-1 host version
+    looped per image in Python and dominated the epoch wall-time; this runs
+    fused on the accelerator as part of the training dispatch stream.
+    """
     n = x.shape[0]
-    pad = np.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
-    ox = rng.integers(0, 9, n)
-    oy = rng.integers(0, 9, n)
-    out = np.empty_like(x)
-    flip = rng.random(n) < 0.5
-    for i in range(n):
-        img = pad[i, ox[i]:ox[i] + 32, oy[i]:oy[i] + 32]
-        out[i] = img[:, ::-1] if flip[i] else img
-    return out
+    kx, ky, kf = jax.random.split(key, 3)
+    pad = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
+    ox = jax.random.randint(kx, (n,), 0, 9)
+    oy = jax.random.randint(ky, (n,), 0, 9)
+    flip = jax.random.bernoulli(kf, 0.5, (n,))
+
+    def crop_one(img, i, j, fl):
+        out = jax.lax.dynamic_slice(img, (i, j, 0), (32, 32, img.shape[-1]))
+        return jnp.where(fl, out[:, ::-1], out)
+
+    return jax.vmap(crop_one)(pad, ox, oy, flip)
 
 
 def main():
@@ -134,8 +141,23 @@ def main():
     )
     opt_state = opt.init(params)
 
+    # the whole dataset lives on-device; batches are gathered, augmented,
+    # and consumed inside one jitted dispatch per iteration — the only
+    # per-iter host traffic is the index array (round-1 profile: host-side
+    # per-image augmentation + a device sync per iteration dominated the
+    # 187s epochs; this loop syncs once per epoch)
+    x_tr_d = jnp.asarray(x_tr)
+    y_tr_d = jnp.asarray(y_tr)
+    x_te_d = jnp.asarray(x_te)
+    y_te_d = jnp.asarray(y_te)
+
     @jax.jit
-    def train_step(p, s, x, y):
+    def train_step(p, s, key, idx):
+        x = x_tr_d[idx]
+        y = y_tr_d[idx]
+        if not synthetic:
+            x = augment_device(key, x)
+
         def loss_fn(pp):
             logits = model.apply(pp, x, training=True)
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
@@ -153,27 +175,31 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     loss_meter = RunningAverageMeter(0.97)
+    key = jax.random.PRNGKey(args.seed)
     for epoch in range(args.epochs):
         t0 = time.time()
         perm = rng.permutation(len(x_tr))
-        accs = []
+        losses, accs = [], []
         for it in range(iters_per_epoch):
             idx = perm[it * args.batch_size:(it + 1) * args.batch_size]
             if len(idx) < args.batch_size:
                 break
-            xb = augment(rng, x_tr[idx]) if not synthetic else x_tr[idx]
+            key, sub = jax.random.split(key)
             params, opt_state, loss, acc = train_step(
-                params, opt_state, jnp.asarray(xb), jnp.asarray(y_tr[idx])
+                params, opt_state, sub, jnp.asarray(idx)
             )
-            loss_meter.update(float(loss))
-            accs.append(float(acc))
+            losses.append(loss)
+            accs.append(acc)
+        accs = np.asarray(jax.device_get(jnp.stack(accs)))
+        for lv in jax.device_get(jnp.stack(losses)):
+            loss_meter.update(float(lv))
         epoch_time = time.time() - t0
 
-        te_accs = [
-            float(eval_step(params, jnp.asarray(x_te[i:i + args.batch_size]),
-                            jnp.asarray(y_te[i:i + args.batch_size])))
+        te_accs = jax.device_get(jnp.stack([
+            eval_step(params, x_te_d[i:i + args.batch_size],
+                      y_te_d[i:i + args.batch_size])
             for i in range(0, len(x_te) - args.batch_size + 1, args.batch_size)
-        ]
+        ]))
         # device memory telemetry (the reference's nvidia-smi / cuda
         # max_memory_allocated equivalents, train-Cifar10.py:277-295)
         mem_gb = 0.0
@@ -190,7 +216,7 @@ def main():
             f.write(
                 f"{args.Nt} {mem_gb:.3f} {epoch_time:.2f} {args.method}\n"
             )
-    return float(np.mean(te_accs)) if te_accs else 0.0
+    return float(np.mean(te_accs)) if len(te_accs) else 0.0
 
 
 if __name__ == "__main__":

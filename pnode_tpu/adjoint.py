@@ -88,6 +88,25 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
     out_idx = np.asarray(grid.out_idx)
     store_aux = traj.kind == "store_all"
     _store_dt = jnp.dtype(traj.store_dtype) if traj.store_dtype else None
+    # only the store_all/solution_only forward paths gather interior outputs
+    # from the compressed store; the segmented policies collect them on the
+    # fly at full precision
+    if (
+        _store_dt is not None
+        and traj.kind in ("store_all", "solution_only")
+        and np.any((out_idx > 0) & (out_idx < n_steps))
+    ):
+        import warnings as _warnings
+
+        _warnings.warn(
+            "-pnode_trajectory_dtype compression is active while interior "
+            "output times are requested: interior outputs pass through the "
+            f"compressed ({traj.store_dtype}) trajectory store and lose "
+            "precision (the final state stays exact). Drop the compression "
+            "flag or request only the endpoint if interior outputs feed a "
+            "precision-sensitive loss.",
+            stacklevel=3,
+        )
 
     def _compress(x):
         return x if _store_dt is None else x.astype(_store_dt)

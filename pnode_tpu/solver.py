@@ -151,6 +151,7 @@ class ODESolver:
             stol=self.opts.get_real("snes_stol", 1e-8),
             max_it=self.opts.get_int("snes_max_it", 50),
             ksponly=self.opts.get_string("snes_type", "newtonls") == "ksponly",
+            ksponly_check=bool(self.opts.get_int("snes_ksponly_check", 0)),
         )
 
         # --- method resolution (setFromOptions-last) -----------------------

@@ -86,6 +86,7 @@ def test_hutchinson_vs_exact_divergence():
     np.testing.assert_allclose(est, dlp_exact, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_cnf_training_step_reduces_nll():
     """One CNF block trains on 8gaussians: NLL decreases (adjoint grads)."""
     import optax

@@ -78,6 +78,7 @@ def test_spectral_dense_applies():
     assert "spectral" in mutated
 
 
+@pytest.mark.slow
 def test_odenvp_log_prob_and_grads():
     model = ODENVP((8, 8, 1), n_scales=2, n_blocks=1, hidden_dims=(8,),
                    step_size=0.25)
@@ -101,6 +102,7 @@ def test_odenvp_log_prob_and_grads():
     assert any(n > 0 for n in norms)
 
 
+@pytest.mark.slow
 def test_multiscale_parallel_cnf():
     from pnode_tpu.ffjord.odenvp import MultiscaleParallelCNF
 

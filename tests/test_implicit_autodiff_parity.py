@@ -69,6 +69,7 @@ def test_theta_adjoint_vs_full_autodiff(theta):
                                    atol=1e-12)
 
 
+@pytest.mark.slow
 def test_multi_step_cn_trajectory_gradient_parity():
     """Five CN steps: full-trajectory loss gradient, adjoint vs autodiff."""
     setup = ImplicitSolveSetup(

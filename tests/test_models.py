@@ -65,6 +65,7 @@ def test_burgers_stencil_is_scaled_laplacian():
                                atol=0.05 * np.abs(expected).max())
 
 
+@pytest.mark.slow
 def test_sqnxt_forward_and_grad():
     model = SqueezeNextODE(num_classes=10, width_x=0.25, method="euler", Nt=1)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),

@@ -57,7 +57,7 @@ def test_revolve_policy_gradients_match_store_all():
         pnode_tpu.clear_options()
         pnode_tpu.init(["p"] + flags)
         ode = ODESolver()
-        ode.setupTS(y0, Func(f, P), step_size=0.05, method="rk4")
+        ode.setupTS(y0, Func(f, P), step_size=0.1, method="rk4")
 
         @jax.jit
         def loss(p):
@@ -153,7 +153,7 @@ def test_bf16_trajectory_compression():
         pnode_tpu.clear_options()
         pnode_tpu.init(["p"] + flags)
         ode = ODESolver()
-        ode.setupTS(y0, Func(f, P), step_size=0.05, method="rk4")
+        ode.setupTS(y0, Func(f, P), step_size=0.1, method="rk4")
 
         def loss(p):
             sol = ode.odeint_adjoint(y0, t, params=p)

@@ -121,7 +121,9 @@ def f_ex(t, y, p):
 P_IMEX = ({"a": jnp.array(-2.0)}, {"b": jnp.array(0.2), "c": jnp.array(0.5)})
 
 
-@pytest.mark.parametrize("ark", ["1bee", "ars122", "l2", "3", "4", "5"])
+@pytest.mark.parametrize("ark", ["1bee", "ars122", "l2", "3",
+                                 pytest.param("4", marks=pytest.mark.slow),
+                                 pytest.param("5", marks=pytest.mark.slow)])
 def test_ark_imex_convergence_order(ark):
     tab = get_ark_tableau(ark)
 
@@ -194,7 +196,9 @@ def test_theta_step_adjoint_matches_fd(theta, kind):
         assert fd == pytest.approx(float(dlp[k]), rel=2e-5, abs=1e-8)
 
 
-@pytest.mark.parametrize("ark", ["ars122", "l2", "3", "4", "5"])
+@pytest.mark.parametrize("ark", ["ars122", "l2", "3",
+                                 pytest.param("4", marks=pytest.mark.slow),
+                                 pytest.param("5", marks=pytest.mark.slow)])
 def test_ark_step_adjoint_matches_fd(ark):
     tab = get_ark_tableau(ark)
     stepper = ARKIMEX(tab, f_im, f_ex, _default_setup())
