@@ -98,19 +98,96 @@ def _load_miniboone(root):
     return _normalize_splits(trn, val, tst)
 
 
+def _load_gas(root):
+    """GAS preprocessing (datasets/gas.py): drop Meth/Eth/Time, iteratively
+    remove columns correlated > 0.98 with more than one other, whole-data
+    z-score, then 10%/10% tail splits."""
+    import pandas as pd
+
+    data = pd.read_pickle(os.path.join(root, "gas", "ethylene_CO.pickle"))
+    for col in ("Meth", "Eth", "Time"):
+        data = data.drop(col, axis=1)
+
+    def corr_counts(d):
+        return (d.corr() > 0.98).values.sum(axis=1)
+
+    B = corr_counts(data)
+    while np.any(B > 1):
+        col = data.columns[int(np.where(B > 1)[0][0])]
+        data = data.drop(col, axis=1)
+        B = corr_counts(data)
+    data = (data - data.mean()) / data.std()
+    arr = data.values
+    n_test = int(0.1 * arr.shape[0])
+    tst, rest = arr[-n_test:], arr[:-n_test]
+    n_val = int(0.1 * rest.shape[0])
+    val, trn = rest[-n_val:], rest[:-n_val]
+    return tuple(a.astype(np.float32) for a in (trn, val, tst))
+
+
+def _load_hepmass(root):
+    """HEPMASS preprocessing (datasets/hepmass.py): keep class-1 rows, drop
+    the label column (and the test set's stray trailing column), z-score by
+    TRAIN stats, then drop features whose most-frequent... — faithfully, the
+    reference checks the count of the SMALLEST value per feature (a known
+    MAF quirk, reproduced as-is) and removes features where it exceeds 5;
+    finally a 10% validation tail split."""
+    import pandas as pd
+    from collections import Counter
+
+    tr = pd.read_csv(os.path.join(root, "hepmass", "1000_train.csv"),
+                     index_col=False)
+    te = pd.read_csv(os.path.join(root, "hepmass", "1000_test.csv"),
+                     index_col=False)
+    tr = tr[tr[tr.columns[0]] == 1].drop(tr.columns[0], axis=1)
+    te = te[te[te.columns[0]] == 1].drop(te.columns[0], axis=1)
+    te = te.drop(te.columns[-1], axis=1)  # the published test file is off
+    mu, s = tr.mean(), tr.std()
+    tr = ((tr - mu) / s).to_numpy()
+    te = ((te - mu) / s).to_numpy()
+    drop = []
+    for i, feature in enumerate(tr.T):
+        c = Counter(feature)
+        first_count = np.array([v for _, v in sorted(c.items())])[0]
+        if first_count > 5:
+            drop.append(i)
+    keep = [i for i in range(tr.shape[1]) if i not in drop]
+    tr, te = tr[:, keep], te[:, keep]
+    n_val = int(0.1 * tr.shape[0])
+    val, trn = tr[-n_val:], tr[:-n_val]
+    return tuple(a.astype(np.float32) for a in (trn, val, te))
+
+
+def _load_bsds300(root):
+    """BSDS300 patches (datasets/bsds300.py): h5 train/validation/test
+    groups used verbatim (no normalization)."""
+    import h5py
+
+    path = os.path.join(root, "BSDS300", "BSDS300.hdf5")
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    with h5py.File(path, "r") as f:
+        trn = np.asarray(f["train"])
+        val = np.asarray(f["validation"])
+        tst = np.asarray(f["test"])
+    return tuple(a.astype(np.float32) for a in (trn, val, tst))
+
+
+_LOADERS = {
+    "power": _load_power,
+    "gas": _load_gas,
+    "hepmass": _load_hepmass,
+    "miniboone": _load_miniboone,
+    "bsds300": _load_bsds300,
+}
+
+
 def load_tabular(name: str, root: str = "data") -> TabularData:
     name = name.lower()
     if name not in DATA_DIMS:
         raise ValueError(f"unknown dataset {name!r}; options {sorted(DATA_DIMS)}")
     try:
-        if name == "power":
-            trn, val, tst = _load_power(root)
-        elif name == "miniboone":
-            trn, val, tst = _load_miniboone(root)
-        else:
-            raise FileNotFoundError(
-                f"loader for {name} requires the MAF data files"
-            )
+        trn, val, tst = _LOADERS[name](root)
         return TabularData(name, trn, val, tst, synthetic=False)
-    except (FileNotFoundError, OSError):
+    except (FileNotFoundError, OSError, ImportError, KeyError):
         return _synthetic(name)

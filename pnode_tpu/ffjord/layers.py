@@ -183,6 +183,57 @@ class ConcatSquashConv2d(nn.Module):
         return out * nn.sigmoid(gate) + bias
 
 
+class GatedLinear(nn.Module):
+    """f(x) * sigmoid(g(x)) — the gated dense unit
+    (/root/reference/ffjord-pnode/lib/layers/diffeq_layers/basic.py:344-353).
+    Not time-dependent: the reference's gated family comes from its VAE-flow
+    heritage and takes only x."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        f = nn.Dense(self.dim_out)(x)
+        g = nn.Dense(self.dim_out)(x)
+        return f * nn.sigmoid(g)
+
+
+class GatedConv(nn.Module):
+    """Gated 2-D convolution (basic.py:356-383). NHWC layout."""
+
+    dim_out: int
+    ksize: int = 3
+    stride: int = 1
+    padding: str = "SAME"
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        conv = lambda: nn.Conv(
+            self.dim_out, (self.ksize, self.ksize),
+            strides=(self.stride, self.stride), padding=self.padding,
+            feature_group_count=self.groups,
+        )
+        return conv()(x) * nn.sigmoid(conv()(x))
+
+
+class GatedConvTranspose(nn.Module):
+    """Gated transposed 2-D convolution (basic.py:386-424). NHWC layout."""
+
+    dim_out: int
+    ksize: int = 3
+    stride: int = 1
+    padding: str = "SAME"
+
+    @nn.compact
+    def __call__(self, x):
+        conv = lambda: nn.ConvTranspose(
+            self.dim_out, (self.ksize, self.ksize),
+            strides=(self.stride, self.stride), padding=self.padding,
+        )
+        return conv()(x) * nn.sigmoid(conv()(x))
+
+
 DIFFEQ_LAYERS = {
     "ignore": IgnoreLinear,
     "concat": ConcatLinear,

@@ -147,13 +147,57 @@ class ODENVP:
         logpz = sum(standard_normal_logprob(z) for z in zs)
         return logpz[:, None] - delta, zs
 
-    def sample(self, params, key, n: int, dtype=jnp.float32):
-        """Prior samples pushed backwards through the flow."""
-        raise NotImplementedError(
-            "multiscale sampling lands in a later round (forward density "
-            "estimation is complete); the reference's ODENVP is likewise "
-            "used for density estimation"
-        )
+    @property
+    def z_shapes(self):
+        """Shapes of the factored-out latents, matching forward()'s zs."""
+        shapes = []
+        for s, (h, w, c) in enumerate(self.scale_shapes):
+            if s < len(self.scale_shapes) - 1:
+                shapes.append((h // 2, w // 2, 2 * c))
+            else:
+                shapes.append((h, w, c))
+        return shapes
+
+    def inverse(self, params, zs, key=None):
+        """Latents -> image: exact inverse of forward() (the factor-out
+        real-NVP inverse the reference's odenvp.py:8-200 implements with
+        reverse=True). Returns (x, delta_rev) with delta_rev = -delta_fwd,
+        so log p(x) = sum priors(zs) + delta_rev."""
+        n_scales = len(self.scales)
+        B = zs[-1].shape[0]
+        delta = jnp.zeros((B, 1), zs[-1].dtype)
+        h = zs[-1]
+        for s in range(n_scales - 1, -1, -1):
+            if s < n_scales - 1:
+                # undo the factor-out (h was the kept first half) + squeeze
+                h = jnp.concatenate([h, zs[s]], axis=-1)
+                h, delta, _ = self.squeeze.apply({}, h, delta, {},
+                                                 reverse=True)
+            for blk, bp in zip(reversed(self.scales[s]),
+                               reversed(params[s])):
+                if key is not None:
+                    key, sub = jax.random.split(key)
+                else:
+                    sub = None
+                (h, dlp, _), _ = blk.apply(
+                    bp, h, key=sub, training=False, reverse=True,
+                    exact_div=key is None,
+                )
+                delta = delta + dlp
+        x, delta, _ = self.logit.apply({}, h, delta, {}, reverse=True)
+        return x, delta
+
+    def sample(self, params, key, n: int, temp: float = 1.0,
+               dtype=jnp.float32):
+        """Prior samples pushed backwards through the flow (odenvp sampling:
+        z ~ temp * N(0, I) per factored scale, then the exact inverse)."""
+        zs = []
+        for shape in self.z_shapes:
+            key, sub = jax.random.split(key)
+            zs.append(temp * jax.random.normal(sub, (n,) + shape, dtype))
+        key, sub = jax.random.split(key)
+        x, _ = self.inverse(params, zs, key=sub)
+        return x
 
 
 def _squeeze(x, f=2):
@@ -265,3 +309,26 @@ class MultiscaleParallelCNF:
             delta = delta + dlp
         logpz = standard_normal_logprob(h)
         return logpz[:, None] - delta, h
+
+    def inverse(self, params, z, key=None):
+        """Latent -> image (single full-resolution latent)."""
+        delta = jnp.zeros((z.shape[0], 1), z.dtype)
+        h = z
+        for blk, bp in zip(reversed(self.blocks), reversed(params)):
+            if key is not None:
+                key, sub = jax.random.split(key)
+            else:
+                sub = None
+            (h, dlp, _), _ = blk.apply(bp, h, key=sub, training=False,
+                                       reverse=True, exact_div=key is None)
+            delta = delta + dlp
+        x, delta, _ = self.pre.apply({}, h, delta, {}, reverse=True)
+        return x, delta
+
+    def sample(self, params, key, n: int, temp: float = 1.0,
+               dtype=jnp.float32):
+        key, sub = jax.random.split(key)
+        z = temp * jax.random.normal(sub, (n,) + self.input_shape, dtype)
+        key, sub = jax.random.split(key)
+        x, _ = self.inverse(params, z, key=sub)
+        return x

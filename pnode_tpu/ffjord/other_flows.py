@@ -147,3 +147,28 @@ class SpectralDense(nn.Module):
         if not self.is_initializing():
             u.value = jax.lax.stop_gradient(new_u)
         return x @ W_sn + bias
+
+
+class BruteForceLayer(FlowLayer):
+    """Invertible dense linear flow with exact log|det| (glow-style 1x1
+    without the LU parameterization): y = x W^T, delta -= log|det W|
+    (/root/reference/ffjord-pnode/lib/layers/glow.py:6-28 BruteForceLayer —
+    weight initialized to the identity, inverse materialized on the reverse
+    pass, log-det by direct determinant)."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+
+    def init(self, key, x):
+        return {"weight": jnp.eye(self.dim, dtype=x.dtype)}
+
+    def apply(self, params, x, delta, state, key=None, training=True,
+              reverse=False, **kw):
+        W = params["weight"]
+        sign, logdet = jnp.linalg.slogdet(W)
+        ld = logdet * jnp.ones_like(delta)
+        if reverse:
+            y = x @ jnp.linalg.inv(W).T
+            return y, delta + ld, state
+        y = x @ W.T
+        return y, delta - ld, state

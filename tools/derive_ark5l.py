@@ -121,11 +121,11 @@ def order5_only(x):
     return residuals(a_im, a_ex, b, 5)
 
 
-def order5_linf(x):
+def order5_linf(x, w=10.0):
     a_im, a_ex, b, c, gamma, _ = unpack(x)
     res5 = residuals(a_im, a_ex, b, 5)
     linf = np.real(_R(-1e10, a_im, b))
-    return np.concatenate([res5, [10.0 * linf]])
+    return np.concatenate([res5, [w * linf]])
 
 
 def main():
@@ -151,8 +151,13 @@ def main():
             print(f"trial {trial}: phase-A failed "
                   f"({np.max(np.abs(sol.fun)):.1e})", flush=True)
             continue
-        # phase B: add L-stability equality
-        sol = least_squares(order5_linf, sol.x, method="lm", max_nfev=3000)
+        # phase B: homotopy onto the L-stable manifold (weight ramp on the
+        # R(-inf) equality; a direct jump stalls in a local basin)
+        x = sol.x
+        for wl in (0.01, 0.05, 0.2, 1.0, 4.0, 10.0):
+            x = least_squares(lambda xx: order5_linf(xx, wl), x,
+                              method="lm", max_nfev=1500).x
+        sol = least_squares(order5_linf, x, method="lm", max_nfev=3000)
         if np.max(np.abs(sol.fun)) > 1e-10:
             print(f"trial {trial}: phase-B failed "
                   f"({np.max(np.abs(sol.fun)):.1e})", flush=True)
