@@ -44,7 +44,7 @@ def _windows(step_fn, n_steps, n_windows, block):
         dt_wall = time.time() - t0
         rates.append(n_steps / dt_wall)
         print(
-            f"window {rep}: {n_steps} steps in {dt_wall:.3f}s "
+            f"window {rep}: {n_steps} dispatches in {dt_wall:.3f}s "
             f"({rates[-1]:.2f}/s)",
             file=sys.stderr,
         )
@@ -109,17 +109,33 @@ def bench_sinode(args, nx, batch, dt, metric):
 
     t_out = jnp.array([0.0, dt])
     params = (vim, vex)
-    opt = optax.adam(5e-3)
+    # flat-vector Adam: the unflattened update is ~100 tiny per-leaf ops
+    # whose dispatch latency rivaled the solve itself on the tunneled chip
+    opt = optax.flatten(optax.adam(5e-3))
 
     def loss_fn(p, y0, target):
         pred, _ = ode.solve(y0, t_out, params=p)
         return jnp.mean((pred[-1] - target) ** 2)
 
+    inner = max(1, int(args.inner_steps))
+
     @jax.jit
-    def train_step(p, opt_state, y0, target):
-        loss, grads = jax.value_and_grad(loss_fn)(p, y0, target)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(p, updates), opt_state, loss
+    def train_steps(p, opt_state, y0, target):
+        """`inner` full training steps per dispatch (lax.scan): the
+        tunneled chip pays ~per-dispatch host latency, so the headline
+        measures the compiled program's throughput, not the host."""
+        from jax import lax
+
+        def body(carry, _):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, y0, target)
+            updates, s = opt.update(grads, s)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (p, opt_state), losses = lax.scan(
+            body, (p, opt_state), None, length=inner
+        )
+        return p, opt_state, losses[-1]
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
     y0 = jax.random.normal(k1, (batch, nx), dtype)
@@ -129,7 +145,7 @@ def bench_sinode(args, nx, batch, dt, metric):
     state = {"p": params, "s": opt_state}
 
     def step():
-        state["p"], state["s"], loss = train_step(
+        state["p"], state["s"], loss = train_steps(
             state["p"], state["s"], y0, target
         )
         return loss
@@ -144,7 +160,7 @@ def bench_sinode(args, nx, batch, dt, metric):
     _j.block_until_ready(step())
 
     med, best = _windows(step, n_steps, args.windows, _j.block_until_ready)
-    return med, best
+    return med * inner, best * inner
 
 
 def bench_cifar(args):
@@ -210,6 +226,9 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--no_pallas", action="store_true")
+    ap.add_argument("--inner_steps", type=int, default=30,
+                    help="training steps per dispatch (lax.scan); 1 = "
+                         "per-step host dispatch mode")
     ap.add_argument("--cifar_nt", type=int, default=2)
     ap.add_argument("--cifar_method", type=str, default="rk4")
     args, unknown = ap.parse_known_args()
@@ -247,15 +266,20 @@ def main():
         unit = "s/epoch"
 
     vs_baseline = 1.0
-    base_path = os.path.join(os.path.dirname(__file__), "BENCH_r1.json")
-    if args.workload == "ks" and os.path.exists(base_path):
-        try:
-            with open(base_path) as f:
-                base = json.load(f)
-            if base.get("value"):
-                vs_baseline = value / float(base["value"])
-        except Exception:
-            pass
+    if args.workload == "ks":
+        for cand in ("BENCH_r01.json", "BENCH_r1.json"):
+            base_path = os.path.join(os.path.dirname(__file__), cand)
+            if os.path.exists(base_path):
+                try:
+                    with open(base_path) as f:
+                        base = json.load(f)
+                    # the driver's record nests the metric under "parsed"
+                    rec = base.get("parsed", base)
+                    if rec.get("value"):
+                        vs_baseline = value / float(rec["value"])
+                    break
+                except Exception:
+                    pass
 
     print(
         json.dumps(

@@ -180,6 +180,31 @@ class KSFuncIM(nn.Module):
                               use_pallas=self.use_pallas)(y)
 
 
+def _fused_stack_spec(variables, activation, sign):
+    """Extract (Ws, bs, rebuild) from a single-FusedStackedMLP variable tree
+    for the fused reverse-step kernel (ops/fused_ark_adjoint.py)."""
+    p = variables.get("params", {})
+    if len(p) != 1:
+        return None
+    sub_name = next(iter(p))
+    sub = p[sub_name]
+    n = len([k for k in sub if str(k).startswith("kernel_")])
+    if n == 0 or len(sub) != 2 * n:
+        return None
+    Ws = [sub[f"kernel_{i}"] for i in range(n)]
+    bs = [sub[f"bias_{i}"] for i in range(n)]
+
+    def rebuild(dWs, dbs):
+        leaf = {}
+        for i in range(n):
+            leaf[f"kernel_{i}"] = dWs[i]
+            leaf[f"bias_{i}"] = dbs[i]
+        return {"params": {sub_name: leaf}}
+
+    return {"Ws": Ws, "bs": bs, "activation": activation, "sign": sign,
+            "rebuild": rebuild}
+
+
 class KSFuncEX(nn.Module):
     """KS explicit part: -MLP(y), hidden 104, ReLU (imex.py ODEFuncEX).
 
@@ -197,6 +222,12 @@ class KSFuncEX(nn.Module):
             return -FusedStackedMLP(features=feats, activation_name="relu",
                                     w_std=0.01)(y)
         return -StackedMLP(features=feats, activation=nn.relu, w_std=0.01)(y)
+
+    def fused_mlp_spec(self, variables):
+        """Opt-in for the fused ARK reverse-step kernel: f_ex = -MLP."""
+        if not self.use_pallas:
+            return None
+        return _fused_stack_spec(variables, "relu", -1.0)
 
 
 class KSSnodeFunc(nn.Module):
@@ -259,3 +290,9 @@ class BurgersFuncEX(nn.Module):
             return FusedStackedMLP(features=feats, activation_name="relu",
                                    w_std=0.1)(y)
         return StackedMLP(features=feats, activation=nn.relu, w_std=0.1)(y)
+
+    def fused_mlp_spec(self, variables):
+        """Opt-in for the fused ARK reverse-step kernel: f_ex = +MLP."""
+        if not self.use_pallas:
+            return None
+        return _fused_stack_spec(variables, "relu", 1.0)

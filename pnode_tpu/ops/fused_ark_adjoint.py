@@ -1,0 +1,276 @@
+"""Fused ARK-IMEX reverse-step Pallas kernel (the KS/Burgers hot path).
+
+Round-1 profiling (RESULTS.md): the discrete-adjoint sweep dominates the
+KS training step (~1.1 of 1.54 ms), and within it ~everything is the
+per-stage fused-MLP backward launches — each a separate pallas_call that
+re-DMAs the weights and pays full launch latency for ~60 MFLOP of work.
+This kernel evaluates the ENTIRE reverse step (all s stages) in ONE
+pallas_call: per stage the covector AXPYs, the explicit-part MLP VJP
+(recompute-then-backprop, weights resident in VMEM across stages), the
+implicit-part J^T apply, and the transposed stage solve against the
+pre-inverted frozen operator — pure VPU/MXU work with zero intermediate
+HBM round-trips.
+
+Scope (the reference's production stiff-PDE configuration,
+/root/reference/examples-sinode/KS/KS.py: ksponly + fixed_jacobian +
+linear f_IM): fixed parameter-free implicit part with a shared dense
+Jacobian, explicit part = sign * MLP (relu/tanh), uniform dt (pre-inverted
+stage operator available), single ESDIRK diagonal gamma. The generic
+stage-exact adjoint in steppers.ARKIMEX.step_adj remains the fallback for
+everything else and is the correctness reference (asserted equal in
+tests/test_fused_ark_adjoint.py).
+
+Math (identical to ARKIMEX.step_adj, steppers.py:510-571):
+
+    for i = s-1 .. 0:
+        u_i  = dt (bI_i lam + sum_{m>i} aI_mi xi_m)
+        uh_i = dt (bE_i lam + sum_{m>i} aE_mi xi_m)
+        p_i  = J_im^T u_i + sign * MLP_vjp_x(Y_i, sign * uh_i)
+        xi_i = (I - dt gamma J_im)^{-T} p_i        (or p_i when a_ii = 0)
+        dW  += MLP_vjp_W(Y_i, sign * uh_i)
+    lam_prev = lam + sum_i xi_i
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+from .fused_mlp import _ACTS, _pad2, _round_up
+
+# scoped-VMEM budget for the RESIDENT set (weights + dW accumulators +
+# operators); the per-tile working set is sized against the remainder
+VMEM_RESIDENT_BUDGET = 12 * 2**20
+
+
+def fused_ark_fits(d: int, layer_dims: Sequence[int]) -> bool:
+    """True when weights + weight-grad accumulators + the dense operators
+    fit the scoped-VMEM budget (e.g. KS nx=64 yes; Burgers nx=512 no — its
+    padded weight stack alone is ~7.5 MB and lives twice)."""
+    pdims = [_round_up(x, 128) for x in [d] + list(layer_dims)]
+    P = pdims[0]
+    weights = 4 * sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
+    return 2 * weights + 2 * 4 * P * P <= VMEM_RESIDENT_BUDGET
+
+
+def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign,
+            dt_ref, ys_ref, lam_ref, jt_ref, invt_ref, *refs):
+    """refs = [W1, b1, ..., Wn, bn, lam_prev_ref, dW1, db1, ..., dWn, dbn].
+
+    Static arguments: stage count, layer count, activation, tableau rows
+    (python floats -> zero coefficients are skipped at trace time), sign.
+    Runs on a 1-D grid over batch tiles: weights/operators are revisited
+    (stay resident in VMEM), weight gradients accumulate across tiles.
+    """
+    act = _ACTS[act_name]
+    lam_prev_ref = refs[2 * n_layers]
+    first_tile = pl.program_id(0) == 0
+    dt = dt_ref[0, 0]
+    lam = lam_ref[:]
+    jt = jt_ref[:]
+    invt = invt_ref[:]
+
+    dWs = [None] * n_layers
+    dbs = [None] * n_layers
+    xis = [None] * s
+    lam_prev = lam
+
+    for i in range(s - 1, -1, -1):
+        # covectors into the implicit/explicit stage derivatives
+        u = None
+        uh = None
+        if bI[i] != 0.0:
+            u = (dt * bI[i]) * lam
+        if bE[i] != 0.0:
+            uh = (dt * bE[i]) * lam
+        for m in range(i + 1, s):
+            if xis[m] is None:
+                continue
+            if aI[m][i] != 0.0:
+                t_ = (dt * aI[m][i]) * xis[m]
+                u = t_ if u is None else u + t_
+            if aE[m][i] != 0.0:
+                t_ = (dt * aE[m][i]) * xis[m]
+                uh = t_ if uh is None else uh + t_
+        if u is None and uh is None:
+            continue
+
+        p = None
+        if u is not None:
+            p = jnp.dot(u, jt, preferred_element_type=jnp.float32)
+        if uh is not None:
+            # MLP VJP at Y_i with covector sign * uh:
+            # recompute forward storing layer inputs, then backprop
+            x = ys_ref[i]
+            h = x
+            pre = []
+            hs = [h]
+            for l in range(n_layers):
+                W = refs[2 * l][:]
+                b = refs[2 * l + 1][:]
+                z = jnp.dot(h, W, preferred_element_type=jnp.float32) + b
+                pre.append(z)
+                h = act(z) if l < n_layers - 1 else z
+                hs.append(h)
+            g = sign * uh
+            for l in range(n_layers - 1, -1, -1):
+                if l < n_layers - 1:
+                    if act_name == "relu":
+                        g = g * (pre[l] > 0).astype(jnp.float32)
+                    else:  # tanh
+                        t_ = jnp.tanh(pre[l])
+                        g = g * (1.0 - t_ * t_)
+                W = refs[2 * l][:]
+                dW = jnp.dot(hs[l].T, g, preferred_element_type=jnp.float32)
+                db = jnp.sum(g, axis=0, keepdims=True)
+                dWs[l] = dW if dWs[l] is None else dWs[l] + dW
+                dbs[l] = db if dbs[l] is None else dbs[l] + db
+                g = jnp.dot(g, W.T, preferred_element_type=jnp.float32)
+            # sign was folded into the backprop seed, so g IS the f_ex VJP
+            dyE = g
+            p = dyE if p is None else p + dyE
+
+        if aI[i][i] != 0.0:
+            xi = jnp.dot(p, invt, preferred_element_type=jnp.float32)
+        else:
+            xi = p
+        xis[i] = xi
+        lam_prev = lam_prev + xi
+
+    lam_prev_ref[:] = lam_prev.astype(lam_prev_ref.dtype)
+    for l in range(n_layers):
+        dW_ref = refs[2 * n_layers + 1 + 2 * l]
+        db_ref = refs[2 * n_layers + 2 + 2 * l]
+        dW = (dWs[l] if dWs[l] is not None
+              else jnp.zeros(dW_ref.shape, jnp.float32))
+        db = (dbs[l] if dbs[l] is not None
+              else jnp.zeros(db_ref.shape, jnp.float32))
+        # accumulate across batch tiles (output block revisited per step);
+        # first tile must OVERWRITE (the buffer starts uninitialized, and
+        # 0 * garbage would keep NaNs alive)
+        @pl.when(first_tile)
+        def _init(dW_ref=dW_ref, db_ref=db_ref, dW=dW, db=db):
+            dW_ref[:] = dW.astype(dW_ref.dtype)
+            db_ref[:] = db.astype(db_ref.dtype)
+
+        @pl.when(jnp.logical_not(first_tile))
+        def _acc(dW_ref=dW_ref, db_ref=db_ref, dW=dW, db=db):
+            dW_ref[:] = (dW_ref[:] + dW).astype(dW_ref.dtype)
+            db_ref[:] = (db_ref[:] + db).astype(db_ref.dtype)
+
+
+def fused_ark_step_adj(
+    tableau_static,
+    dt,
+    Ys: jnp.ndarray,      # (s, B, d)
+    lam: jnp.ndarray,     # (B, d)
+    J_dense: jnp.ndarray,  # (d, d) implicit-part Jacobian (shared block)
+    inv_op: jnp.ndarray,   # (d, d) (I - dt*gamma*J)^{-1} (shared block)
+    weights: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    activation: str = "relu",
+    sign: float = -1.0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]]:
+    """One fused reverse ARK step. Returns (lam_prev, (dWs, dbs)).
+
+    tableau_static: (a_im, a_ex, b_im, b_ex) as nested python floats.
+    """
+    aI, aE, bI, bE = tableau_static
+    s, B, d = Ys.shape
+    n_layers = len(weights)
+    dims = [d] + [int(w.shape[1]) for w in weights]
+    if dims[-1] != d:
+        raise ValueError("explicit MLP must map the state to itself")
+    pdims = [_round_up(x, 128) for x in dims]
+    P = pdims[0]
+    maxP = max(pdims)
+
+    # batch-tile size chosen to fit the scoped VMEM budget: weights +
+    # operators are resident; per-row cost = Ys/xis/covectors (s tiles of P)
+    # plus the recompute-then-backprop activations (n_layers + 1 of maxP)
+    if not fused_ark_fits(d, [int(w.shape[1]) for w in weights]):
+        raise ValueError(
+            "fused ARK reverse step does not fit VMEM at these sizes; "
+            "gate with fused_ark_fits() before calling"
+        )
+    budget = 14 * 2**20  # bytes, vs the 16M scoped limit
+    fixed = 4 * (2 * sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
+                 + 2 * P * P)
+    per_row = 4 * (4 * s * P + 2 * (n_layers + 1) * maxP + 6 * P)
+    Bt = max(8, min(_round_up(B, 8), ((budget - fixed) // per_row) // 8 * 8))
+    Bp = _round_up(B, Bt)
+    n_tiles = Bp // Bt
+
+    ys_p = jnp.pad(Ys, ((0, 0), (0, Bp - B), (0, P - d)))
+    lam_p = _pad2(lam, Bp, P)
+    # row-vector convention: J^T u (columns) == u @ J (rows), and the
+    # transposed solve (op^T x = p) == p @ inv (rows) — matching
+    # DenseStageSolver._solve(trans=1)
+    jt_p = _pad2(J_dense, P, P)
+    invt_p = _pad2(inv_op, P, P)
+    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
+
+    flat = []
+    for i, (w, b) in enumerate(zip(weights, biases)):
+        flat.append(_pad2(w, pdims[i], pdims[i + 1]))
+        flat.append(_pad2(b.reshape(1, -1), 1, pdims[i + 1]))
+
+    out_shapes = [jax.ShapeDtypeStruct((Bp, P), lam.dtype)]
+    out_specs = [
+        pl.BlockSpec((Bt, P), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    for i in range(n_layers):
+        for k in (2 * i, 2 * i + 1):
+            out_shapes.append(jax.ShapeDtypeStruct(flat[k].shape, lam.dtype))
+            out_specs.append(
+                pl.BlockSpec(flat[k].shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((s, Bt, P), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        const(jt_p),
+        const(invt_p),
+    ] + [const(a) for a in flat]
+    kern = functools.partial(
+        _kernel, s, n_layers, activation,
+        tuple(tuple(float(x) for x in row) for row in aI),
+        tuple(tuple(float(x) for x in row) for row in aE),
+        tuple(float(x) for x in bI),
+        tuple(float(x) for x in bE),
+        float(sign),
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=tuple(out_shapes),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(dt_arr, ys_p, lam_p, jt_p, invt_p, *flat)
+
+    lam_prev = outs[0][:B, :d]
+    dWs = []
+    dbs = []
+    for i in range(n_layers):
+        dWs.append(outs[1 + 2 * i][: dims[i], : dims[i + 1]])
+        dbs.append(outs[2 + 2 * i][0, : dims[i + 1]])
+    return lam_prev, (tuple(dWs), tuple(dbs))

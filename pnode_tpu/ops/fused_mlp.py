@@ -204,6 +204,19 @@ def fused_mlp(
     pdims = [_round_up(d, 128) for d in dims]
     Bp = _round_up(B, 8)
 
+    # scoped-VMEM gate: the backward kernel holds weights + weight grads +
+    # all activations; at Burgers sizes (512 -> 640-padded x4) that exceeds
+    # the 16M limit — fall back to plain XLA matmuls (same math)
+    w_bytes = 4 * sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
+    act_bytes = 4 * Bp * sum(pdims)
+    if 2 * w_bytes + 2 * act_bytes > 14 * 2**20:
+        h = x
+        for i, (w, b) in enumerate(zip(weights, biases)):
+            h = h @ w + b
+            if i < n_layers - 1:
+                h = _ACTS[activation](h)
+        return h
+
     x_p = _pad2(x, Bp, pdims[0])
     flat = []
     for i, (w, b) in enumerate(zip(weights, biases)):

@@ -96,10 +96,16 @@ class ODESolver:
         self.step_size = step_size
 
         f_im, p_im = as_dynamics(func, params)
+        # models may opt into the fused single-kernel reverse step by
+        # exposing fused_mlp_spec(variables) (ops/fused_ark_adjoint.py)
+        self._fused_ex_spec = None
         if imex_form:
             f_ex, p_ex = as_dynamics(func2, params2)
             self.f = (f_im, f_ex)
             self.params = (p_im, p_ex)
+            mod = getattr(func2, "module", None)
+            if mod is not None and hasattr(mod, "fused_mlp_spec"):
+                self._fused_ex_spec = mod.fused_mlp_spec
         else:
             self.f = f_im
             self.params = p_im
@@ -223,7 +229,8 @@ class ODESolver:
             setup = ImplicitSolveSetup(self.lin_cfg, self.newton_cfg,
                                        adjoint_exact_jacobian=exact_adj)
             f_im, f_ex = self.f
-            return ARKIMEX(tab, f_im, f_ex, setup, mass=self.mass)
+            return ARKIMEX(tab, f_im, f_ex, setup, mass=self.mass,
+                           fused_ex_spec=self._fused_ex_spec)
         if meth in THETA_METHODS or meth in _THETA_TS_TYPES:
             theta = THETA_METHODS.get(meth, _THETA_TS_TYPES.get(meth))
             setup = ImplicitSolveSetup(self.lin_cfg, self.newton_cfg,

@@ -360,6 +360,7 @@ class ARKIMEX:
         f_ex: Callable,
         setup: ImplicitSolveSetup,
         mass: Optional[jnp.ndarray] = None,
+        fused_ex_spec: Optional[Callable] = None,
     ):
         if mass is not None:
             raise NotImplementedError(
@@ -370,6 +371,10 @@ class ARKIMEX:
         self.f_im = f_im
         self.f_ex = f_ex
         self.setup = setup
+        # optional model-provided (Ws, bs, activation, sign, rebuild) spec
+        # enabling the single-kernel fused reverse step
+        # (ops/fused_ark_adjoint.py); None -> generic stage-exact adjoint
+        self.fused_ex_spec = fused_ex_spec
         self.nfe_per_step = 2 * tableau.stages
         self._aI = [[float(x) for x in row] for row in tableau.a_im]
         self._aE = [[float(x) for x in row] for row in tableau.a_ex]
@@ -507,6 +512,54 @@ class ARKIMEX:
                 err = err + (dt * dE) * kE[i]
         return y1, err, aux, stats
 
+    def _fused_reverse_args(self, params):
+        """Static gate for the single-kernel fused reverse step.
+
+        Conditions = the reference's production stiff-PDE configuration:
+        frozen shared dense J for a parameter-free implicit part, cached
+        pre-inverted stage operator (uniform dt), single ESDIRK gamma, and
+        a model-provided MLP spec for the explicit part. Controlled by
+        -pnode_fused_ark_adjoint {auto,off,interpret} (auto = TPU only).
+        """
+        if self.fused_ex_spec is None:
+            return None
+        from .options import Options
+
+        mode = Options().get_string("pnode_fused_ark_adjoint", "auto")
+        if mode == "off":
+            return None
+        interpret = mode == "interpret"
+        if not interpret and jax.default_backend() not in ("tpu", "axon"):
+            return None
+        setup = self.setup
+        if setup.adjoint_exact_jacobian or setup.frozen_J_blocks is None:
+            return None
+        if setup.frozen_J_blocks.shape[0] != 1:
+            return None
+        cache = setup.solver_cache
+        if cache is None:
+            return None
+        gammas = {g for g in (float(x) for x in np.diag(self.tab.a_im))
+                  if g != 0.0}
+        if len(gammas) != 1:
+            return None
+        solver = cache.get(next(iter(gammas)))
+        if (solver is None or getattr(solver, "_inv", None) is None
+                or not solver._shared):
+            return None
+        params_im, params_ex = params
+        if len(jax.tree_util.tree_leaves(params_im)) != 0:
+            return None
+        spec = self.fused_ex_spec(params_ex)
+        if spec is None:
+            return None
+        from .ops.fused_ark_adjoint import fused_ark_fits
+
+        d = setup.frozen_J_blocks.shape[-1]
+        if not fused_ark_fits(d, [int(w.shape[1]) for w in spec["Ws"]]):
+            return None
+        return spec, setup.frozen_J_blocks[0], solver._inv[0], interpret
+
     def step_adj(self, t, dt, y, params, aux, lam):
         params_im, params_ex = params
         aI, aE, bI, bE = self._aI, self._aE, self._bI, self._bE
@@ -515,6 +568,23 @@ class ARKIMEX:
         if aux is None:
             _, aux, _ = self.step(t, dt, y, params)
         Ys = [aux[i] for i in range(s)]
+
+        fused = (
+            self._fused_reverse_args(params)
+            if (y.ndim == 2 and y.dtype == jnp.float32)
+            else None
+        )
+        if fused is not None:
+            from .ops.fused_ark_adjoint import fused_ark_step_adj
+
+            spec, J, inv_op, interpret = fused
+            lam_prev, (dWs, dbs) = fused_ark_step_adj(
+                (aI, aE, bI, bE), dt, aux, lam, J, inv_op,
+                spec["Ws"], spec["bs"], activation=spec["activation"],
+                sign=spec["sign"], interpret=interpret,
+            )
+            g_ex = spec["rebuild"](dWs, dbs)
+            return lam_prev, (tree_zeros_like(params_im), g_ex)
 
         setup = self.setup
         frozen = None if setup.adjoint_exact_jacobian else setup.frozen_J_blocks

@@ -1,0 +1,131 @@
+"""Fused ARK reverse-step kernel vs the generic stage-exact adjoint.
+
+The fused kernel (ops/fused_ark_adjoint.py) must reproduce the generic
+ARKIMEX.step_adj gradients on the production KS configuration; run here in
+interpret mode (-pnode_fused_ark_adjoint interpret) on the CPU backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pnode_tpu
+from pnode_tpu import FlaxFunc, ODESolver
+from pnode_tpu.models import KSFuncEX, KSFuncIM
+
+
+def _build(batch, nx, flags):
+    pnode_tpu.clear_options()
+    pnode_tpu.init(
+        ["p", "-snes_type", "ksponly", "-ts_arkimex_type", "3"] + flags
+    )
+    dtype = jnp.float32
+    im = KSFuncIM(nx=nx)
+    ex = KSFuncEX(nx=nx, hidden=24, use_pallas=True)
+    key = jax.random.PRNGKey(0)
+    y_tmpl = jnp.zeros((batch, nx), dtype)
+    vim = jax.tree_util.tree_map(lambda a: a.astype(dtype),
+                                 im.init(key, 0.0, y_tmpl))
+    vex = jax.tree_util.tree_map(lambda a: a.astype(dtype),
+                                 ex.init(key, 0.0, y_tmpl))
+    ode = ODESolver()
+    ode.setupTS(
+        y_tmpl,
+        FlaxFunc(im, vim),
+        step_size=0.2,
+        method="imex",
+        imex_form=True,
+        implicit_form=True,
+        func2=FlaxFunc(ex, vex),
+        linear_solver="hpddm",
+        fixed_jacobian=True,
+        batch_size=batch,
+    )
+    return ode, (vim, vex)
+
+
+def _grads(ode, params, y0, t_out):
+    def loss(p):
+        pred, _ = ode.solve(y0, t_out, params=p)
+        return jnp.sum(pred[-1] ** 2)
+
+    return jax.value_and_grad(loss)(params)
+
+
+def test_fused_reverse_matches_generic_ks_config():
+    batch, nx = 8, 16
+    key = jax.random.PRNGKey(1)
+    y0 = jax.random.normal(key, (batch, nx), jnp.float32)
+    t_out = jnp.array([0.0, 0.6])
+
+    ode_g, params = _build(batch, nx, ["-pnode_fused_ark_adjoint", "off"])
+    l_g, g_g = _grads(ode_g, params, y0, t_out)
+
+    ode_f, params_f = _build(
+        batch, nx, ["-pnode_fused_ark_adjoint", "interpret"]
+    )
+    # the fast path must actually trigger in this configuration
+    stp = ode_f._stepper.prepare(0.0, y0, params_f, dt0=jnp.float32(0.2))
+    assert stp._fused_reverse_args(params_f) is not None
+    l_f, g_f = _grads(ode_f, params_f, y0, t_out)
+
+    np.testing.assert_allclose(float(l_f), float(l_g), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_fused_reverse_interior_outputs():
+    """Forcing injection at interior output points must compose with the
+    fused kernel identically to the generic path."""
+    batch, nx = 4, 16
+    key = jax.random.PRNGKey(2)
+    y0 = jax.random.normal(key, (batch, nx), jnp.float32)
+    t_out = jnp.array([0.0, 0.4, 0.8])
+
+    def grads(mode):
+        ode, params = _build(batch, nx, ["-pnode_fused_ark_adjoint", mode])
+
+        def loss(p):
+            pred, _ = ode.solve(y0, t_out, params=p)
+            return jnp.sum(pred[1] ** 2) + jnp.sum(jnp.abs(pred[-1]))
+
+        return jax.grad(loss)(params)
+
+    g_g = grads("off")
+    g_f = grads("interpret")
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_fused_gate_stays_off_without_spec():
+    """A plain (non-fused-MLP) explicit part must not take the fast path."""
+    import pnode_tpu
+
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["p", "-snes_type", "ksponly",
+                    "-pnode_fused_ark_adjoint", "interpret"])
+    batch, nx = 4, 16
+    dtype = jnp.float32
+    im = KSFuncIM(nx=nx)
+    ex = KSFuncEX(nx=nx, hidden=8, use_pallas=False)  # no spec
+    key = jax.random.PRNGKey(0)
+    y_tmpl = jnp.zeros((batch, nx), dtype)
+    vim = im.init(key, 0.0, y_tmpl)
+    vex = ex.init(key, 0.0, y_tmpl)
+    ode = ODESolver()
+    ode.setupTS(
+        y_tmpl, FlaxFunc(im, vim), step_size=0.2, method="imex",
+        imex_form=True, implicit_form=True, func2=FlaxFunc(ex, vex),
+        linear_solver="hpddm", fixed_jacobian=True, batch_size=batch,
+    )
+    params = (vim, vex)
+    stp = ode._stepper.prepare(0.0, y_tmpl, params, dt0=jnp.float32(0.2))
+    assert stp._fused_reverse_args(params) is None
+    # and the solve still runs
+    y0 = jax.random.normal(key, (batch, nx), dtype)
+    pred, _ = ode.solve(y0, jnp.array([0.0, 0.4]), params=params)
+    assert np.all(np.isfinite(np.asarray(pred)))
