@@ -36,11 +36,17 @@ from pnode_tpu.order_conditions import residuals  # noqa: E402
 
 S = 8
 
+# when set, gamma is held fixed at this value (x[0] is ignored): L-stability
+# of stiffly accurate ESDIRK pins gamma near special values, so anchoring
+# the search there helps the homotopy close R(-inf) = 0 exactly
+PIN_GAMMA = None
+
 
 def unpack(x):
     """x -> (a_im, a_ex, b, c, gamma, bhat) with structure baked in."""
     i = 0
-    gamma = x[i]; i += 1
+    gamma = x[i] if PIN_GAMMA is None else PIN_GAMMA
+    i += 1
     c_mid = x[i:i + 6]; i += 6          # c_2..c_7
     b_free = x[i:i + 6]; i += 6         # b_2..b_7 (b_1 from sum, b_8 = gamma)
     c = np.concatenate([[0.0], c_mid, [1.0]])
@@ -137,7 +143,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--restarts", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pin_gamma", type=float, default=None)
     args = ap.parse_args()
+    if args.pin_gamma is not None:
+        global PIN_GAMMA
+        PIN_GAMMA = float(args.pin_gamma)
     rng = np.random.default_rng(args.seed)
     best = None
     for trial in range(args.restarts):
@@ -147,7 +157,7 @@ def main():
         x0[-7:] = 0.125 + 0.05 * rng.normal(size=7)  # bhat near uniform
         # phase A: order-5 manifold for b
         sol = least_squares(order5_only, x0, method="lm", max_nfev=3000)
-        if np.max(np.abs(sol.fun)) > 1e-11:
+        if np.max(np.abs(sol.fun)) > 1e-9:
             print(f"trial {trial}: phase-A failed "
                   f"({np.max(np.abs(sol.fun)):.1e})", flush=True)
             continue
