@@ -416,18 +416,41 @@ def _ark4() -> ARKTableau:
 
 
 def _ark5() -> ARKTableau:
-    """Derived 8-stage order-5 pair (tools/derive_ark5.py).
+    """Derived L-STABLE 8-stage order-5(4) pair (tools/derive_ark5l.py).
 
-    Fills the ``-ts_arkimex_type 5`` slot with a pair satisfying ALL additive
-    order-5 conditions to machine precision (full colored-tree validation in
-    tests). The implicit part is A-stable on the sampled left half-plane but
-    NOT L-stable (|R(-inf)| < 1 rather than ~0), unlike Kennedy-Carpenter's
-    ARK5(4)8L[2]SA; prefer "4" for severely stiff production problems.
+    Fills the ``-ts_arkimex_type 5`` slot, matching the properties of
+    Kennedy-Carpenter ARK5(4)8L[2]SA (PETSc's "5"): ALL additive order-5
+    colored-tree conditions to machine precision, an L-STABLE stiffly
+    accurate ESDIRK implicit part (|R(-inf)| = 2e-16 exactly, gamma ~=
+    0.2003), and embedded order-4 weights enabling ``-ts_adapt_type basic``
+    at order 5. Full colored-tree + stability validation in tests.
     """
-    from . import tableaus_ark5 as t5
+    from . import tableaus_ark5l as t5
 
     return ARKTableau(
         name="5",
+        order=5,
+        a_im=np.asarray(t5.A_IM),
+        b_im=np.asarray(t5.B),
+        c_im=np.asarray(t5.C),
+        a_ex=np.asarray(t5.A_EX),
+        b_ex=np.asarray(t5.B),
+        c_ex=np.asarray(t5.C),
+        b_im_err=np.asarray(t5.BHAT),
+        b_ex_err=np.asarray(t5.BHAT),
+        embedded_order=4,
+    )
+
+
+def _ark5a() -> ARKTableau:
+    """Round-1's derived order-5 pair (tools/derive_ark5.py): A-stable on
+    the sampled left half-plane (|R(-inf)| = 0.17, not L-stable), no
+    embedded weights. Kept as ``-ts_arkimex_type 5a`` for reproducibility;
+    "5" is the L-stable successor."""
+    from . import tableaus_ark5 as t5
+
+    return ARKTableau(
+        name="5a",
         order=5,
         a_im=np.asarray(t5.A_IM),
         b_im=np.asarray(t5.B),
@@ -445,6 +468,7 @@ _ARK_TABLEAUS = {
     "3": _ark3,
     "4": _ark4,
     "5": _ark5,
+    "5a": _ark5a,
     "a2": _l2,  # A-stable slot: serve the L-stable 2nd-order pair
 }
 
@@ -453,9 +477,9 @@ DEFAULT_ARK = "3"  # PETSc TSARKIMEX default
 
 def get_ark_tableau(name: Optional[str] = None) -> ARKTableau:
     key = name or DEFAULT_ARK
-    if key == "5":
+    if key in ("5", "5a"):
         try:
-            return _ark5()
+            return _ARK_TABLEAUS[key]()
         except ImportError:
             warnings.warn(
                 "derived ARK5 tableau unavailable; using ARK4(3)6L[2]SA",
