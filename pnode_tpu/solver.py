@@ -199,9 +199,25 @@ class ODESolver:
             warnings.warn(f"-ts_trajectory_type {tt!r} unknown; using memory")
         elif tt == "disk":
             # stream states to a host memmap (PETSc's default trajectory
-            # backend); needs host-callback support (CPU yes; the sandbox's
-            # tunneled TPU no — use checkpoint/revolve there)
-            traj_kind = "disk"
+            # backend). Needs ordered host callbacks, which the tunneled TPU
+            # backend lacks — there the DOCUMENTED SUBSTITUTE is the CAMS
+            # schedule at the same memory budget (recompute instead of
+            # spill; the spill bandwidth over the tunnel would dwarf the
+            # recompute cost anyway). -ts_trajectory_max_cps_ram sets the
+            # budget (default 16 slots).
+            import jax as _jax
+
+            if _jax.default_backend() in ("tpu", "axon"):
+                warnings.warn(
+                    "-ts_trajectory_type disk needs host callbacks, which "
+                    "this TPU backend lacks; substituting the CAMS "
+                    "checkpoint schedule at the -ts_trajectory_max_cps_ram "
+                    "budget (default 16)"
+                )
+                traj_kind = "cams"
+                max_cps = max_cps or 16
+            else:
+                traj_kind = "disk"
         self.traj = TrajectoryConfig(
             kind=traj_kind, max_cps=max_cps or 0,
             store_dtype=self.opts.get_string("pnode_trajectory_dtype", ""),

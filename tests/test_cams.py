@@ -196,6 +196,7 @@ def test_cams_policy_gradients_match_store_all_rk4():
     np.testing.assert_allclose(g_cam["b"], g_ref["b"], rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_cams_policy_gradients_match_store_all_ark_imex():
     """The flagship case: ARK IMEX stages are Newton solves, so CAMS stage
     checkpoints skip real work; gradients must still be bit-identical in

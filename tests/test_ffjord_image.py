@@ -96,9 +96,9 @@ def test_odenvp_inverse_roundtrip_and_sampling():
     from pnode_tpu.ffjord.odenvp import ODENVP, standard_normal_logprob
 
     key = jax.random.PRNGKey(3)
-    model = ODENVP((8, 8, 1), n_scales=2, n_blocks=1, hidden_dims=(8,),
+    model = ODENVP((4, 4, 1), n_scales=2, n_blocks=1, hidden_dims=(4,),
                    step_size=0.25)
-    x = jax.random.uniform(key, (2, 8, 8, 1), minval=0.05, maxval=0.95)
+    x = jax.random.uniform(key, (2, 4, 4, 1), minval=0.05, maxval=0.95)
     params = model.init(key, x)
 
     # exact-divergence forward then inverse must reconstruct x
@@ -118,7 +118,7 @@ def test_odenvp_inverse_roundtrip_and_sampling():
 
     # sampling produces finite images of the right shape
     samples = model.sample(params, key, 3)
-    assert samples.shape == (3, 8, 8, 1)
+    assert samples.shape == (3, 4, 4, 1)
     assert np.all(np.isfinite(np.asarray(samples)))
 
 
@@ -126,17 +126,17 @@ def test_multiscale_parallel_inverse_roundtrip():
     from pnode_tpu.ffjord.odenvp import MultiscaleParallelCNF
 
     key = jax.random.PRNGKey(4)
-    model = MultiscaleParallelCNF((8, 8, 1), n_blocks=1,
-                                  intermediate_dims=(8,), alpha=0.05,
+    model = MultiscaleParallelCNF((4, 4, 1), n_blocks=1,
+                                  intermediate_dims=(4,), alpha=0.05,
                                   step_size=0.25, time_length=0.5)
-    x = jax.random.uniform(key, (2, 8, 8, 1), minval=0.05, maxval=0.95)
+    x = jax.random.uniform(key, (2, 4, 4, 1), minval=0.05, maxval=0.95)
     params = model.init(key, x)
     logpx, z = model.log_prob(params, x, key=None, training=False)
     x2, _ = model.inverse(params, z, key=None)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-4,
                                atol=1e-5)
     samples = model.sample(params, key, 2)
-    assert samples.shape == (2, 8, 8, 1)
+    assert samples.shape == (2, 4, 4, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,7 @@ def test_fused_reverse_matches_generic_ks_config():
                                    rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_reverse_interior_outputs():
     """Forcing injection at interior output points must compose with the
     fused kernel identically to the generic path."""

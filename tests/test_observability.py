@@ -93,3 +93,29 @@ def test_bf16_compression_warns_on_interior_outputs():
         warnings.simplefilter("always")
         ode2.odeint_adjoint(y0, jnp.asarray([0.0, 1.0]), params=P)
         assert not any("compressed" in str(x.message) for x in w)
+
+
+def test_disk_trajectory_substitutes_cams_on_tpu_backends(monkeypatch):
+    """-ts_trajectory_type disk on a callback-less TPU backend must warn and
+    substitute the CAMS schedule at the max_cps budget (documented in
+    solver.py) instead of failing at runtime."""
+    import jax as _jax
+
+    import pnode_tpu.solver as solver_mod
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "axon")
+
+    def f(t, y, p):
+        return p["a"] * y
+
+    P = {"a": jnp.array(-0.5)}
+    y0 = jnp.array([1.0])
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["p", "-ts_trajectory_type", "disk"])
+    ode = ODESolver()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ode.setupTS(y0, Func(f, P), step_size=0.1, method="rk4")
+        assert any("CAMS" in str(x.message) for x in w)
+    assert ode.traj.kind == "cams"
+    assert ode.traj.max_cps == 16

@@ -51,7 +51,7 @@ def test_revolve_policy_gradients_match_store_all():
 
     P = {"a": jnp.array(-0.4), "b": jnp.array(0.3)}
     y0 = jnp.array([1.0, -0.7, 0.2])
-    t = jnp.asarray([0.0, 0.5, 1.5])
+    t = jnp.asarray([0.0, 0.4, 0.8])
 
     def grad_with(flags):
         pnode_tpu.clear_options()
@@ -232,7 +232,7 @@ def test_revolve_scan_executor_matches_unrolled():
 
     P = {"a": jnp.array(-0.4), "b": jnp.array(0.3)}
     y0 = jnp.array([1.0, -0.7, 0.2])
-    t = jnp.asarray([0.0, 0.5, 1.5])
+    t = jnp.asarray([0.0, 0.4, 0.8])
 
     def grad_with(executor):
         pnode_tpu.clear_options()

@@ -331,6 +331,7 @@ def test_newton_solves_nonlinear_system():
     assert bool(stats.converged)
 
 
+@pytest.mark.slow
 def test_ark_step_adjoint_recompute_path_matches_stored():
     """aux=None (solution_only trajectories, adaptive adjoints) re-solves the
     stages; gradients must match the stored-stage path exactly."""
