@@ -172,6 +172,13 @@ class KSFuncIM(nn.Module):
     fixed_linear: bool = True
     use_pallas: bool = False
 
+    @property
+    def linear_in_y(self):
+        """True when f(t, y) is exactly linear in y with no affine part —
+        the certification the fused ARK kernels need (their J applies use
+        the frozen Jacobian, exact only for linear dynamics)."""
+        return self.fixed_linear
+
     @nn.compact
     def __call__(self, t, y):
         dx = self.L / self.nx
@@ -265,6 +272,10 @@ class BurgersFuncIM(nn.Module):
     nx: int = 512
     alpha: float = 8e-4
     use_pallas: bool = False
+
+    @property
+    def linear_in_y(self):
+        return True  # fixed stencil, no bias
 
     @nn.compact
     def __call__(self, t, y):

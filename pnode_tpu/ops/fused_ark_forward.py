@@ -1,0 +1,175 @@
+"""Fused ARK-IMEX FORWARD-step Pallas kernel (companion to
+fused_ark_adjoint.py).
+
+After the fused reverse step, the forward solve became the larger half of
+the KS training step (~0.74 of 0.98 ms): per ARK stage it still launches a
+fused-MLP kernel plus ~10 XLA ops (stage AXPYs, the ksponly linearized
+solve, stencil applies). This kernel runs the WHOLE step — all stages, the
+single linearized solve per implicit stage against the pre-inverted frozen
+operator, the linear implicit applies, and the explicit MLP evaluations —
+in ONE pallas_call with weights resident in VMEM.
+
+Scope (gated by the same conditions as the fused reverse, PLUS ksponly):
+``-snes_type ksponly`` + frozen shared dense J + CERTIFIED-LINEAR implicit
+part + explicit part = sign * MLP + uniform dt. For a linear f_im the
+single linearized ksponly step is EXACT Newton, so:
+
+    for i = 0..s-1:
+        G_i = y + dt sum_{j<i} (aI_ij kI_j + aE_ij kE_j)
+        if aI_ii != 0:
+            r   = -dt aI_ii * f_im(G_i)          # residual at z0 = G_i
+            Y_i = G_i - inv_op @ r               # one solve, exact
+        else:
+            Y_i = G_i
+        kI_i = f_im(Y_i) = Y_i J^T ;  kE_i = sign * MLP(Y_i)
+    y1 = y + dt sum_i (bI_i kI_i + bE_i kE_i)
+
+Outputs y1 and the stacked stage values (the trajectory aux payload).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+from .fused_mlp import _ACTS, _pad2, _round_up
+from .fused_ark_adjoint import fused_ark_fits
+
+
+def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign,
+            dt_ref, y_ref, jf_ref, invf_ref, *refs):
+    """refs = [W1, b1, ..., Wn, bn, y1_ref, ys_ref]."""
+    act = _ACTS[act_name]
+    y1_ref = refs[2 * n_layers]
+    ys_ref = refs[2 * n_layers + 1]
+    dt = dt_ref[0, 0]
+    y = y_ref[:]
+    jf = jf_ref[:]      # J^T: f_im(x) = x @ jf
+    invf = invf_ref[:]  # inv_op^T: solve(r) = r @ invf
+
+    def mlp(x):
+        h = x
+        for l in range(n_layers):
+            W = refs[2 * l][:]
+            b = refs[2 * l + 1][:]
+            h = jnp.dot(h, W, preferred_element_type=jnp.float32) + b
+            if l < n_layers - 1:
+                h = act(h)
+        return h
+
+    kI = [None] * s
+    kE = [None] * s
+    y1 = y
+    for i in range(s):
+        G = y
+        for j in range(i):
+            if aI[i][j] != 0.0:
+                G = G + (dt * aI[i][j]) * kI[j]
+            if aE[i][j] != 0.0:
+                G = G + (dt * aE[i][j]) * kE[j]
+        if aI[i][i] != 0.0:
+            r = (-dt * aI[i][i]) * jnp.dot(
+                G, jf, preferred_element_type=jnp.float32
+            )
+            Yi = G - jnp.dot(r, invf, preferred_element_type=jnp.float32)
+        else:
+            Yi = G
+        ys_ref[i] = Yi.astype(ys_ref.dtype)
+        kI[i] = jnp.dot(Yi, jf, preferred_element_type=jnp.float32)
+        kE[i] = sign * mlp(Yi)
+        if bI[i] != 0.0:
+            y1 = y1 + (dt * bI[i]) * kI[i]
+        if bE[i] != 0.0:
+            y1 = y1 + (dt * bE[i]) * kE[i]
+    y1_ref[:] = y1.astype(y1_ref.dtype)
+
+
+def fused_ark_step_fwd(
+    tableau_static,
+    dt,
+    y: jnp.ndarray,        # (B, d)
+    J_dense: jnp.ndarray,  # (d, d)
+    inv_op: jnp.ndarray,   # (d, d) (I - dt*gamma*J)^{-1}
+    weights: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    activation: str = "relu",
+    sign: float = -1.0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused forward ARK step. Returns (y1, Ys stacked (s, B, d))."""
+    aI, aE, bI, bE = tableau_static
+    s = len(bI)
+    B, d = y.shape
+    n_layers = len(weights)
+    dims = [d] + [int(w.shape[1]) for w in weights]
+    pdims = [_round_up(x, 128) for x in dims]
+    P = pdims[0]
+    maxP = max(pdims)
+
+    if not fused_ark_fits(d, dims[1:]):
+        raise ValueError("fused ARK forward step does not fit VMEM")
+
+    budget = 14 * 2**20
+    fixed = 4 * (sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
+                 + 2 * P * P)
+    per_row = 4 * (3 * s * P + 2 * maxP + 6 * P)
+    Bt = max(8, min(_round_up(B, 8), ((budget - fixed) // per_row) // 8 * 8))
+    Bp = _round_up(B, Bt)
+    n_tiles = Bp // Bt
+
+    y_p = _pad2(y, Bp, P)
+    # row-vector forward applies need the TRANSPOSED operators
+    jf_p = _pad2(J_dense.T, P, P)
+    invf_p = _pad2(inv_op.T, P, P)
+    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
+
+    flat = []
+    for i, (w, b) in enumerate(zip(weights, biases)):
+        flat.append(_pad2(w, pdims[i], pdims[i + 1]))
+        flat.append(_pad2(b.reshape(1, -1), 1, pdims[i + 1]))
+
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((Bt, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        const(jf_p),
+        const(invf_p),
+    ] + [const(a) for a in flat]
+    out_shapes = (
+        jax.ShapeDtypeStruct((Bp, P), y.dtype),
+        jax.ShapeDtypeStruct((s, Bp, P), y.dtype),
+    )
+    out_specs = (
+        pl.BlockSpec((Bt, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((s, Bt, P), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    kern = functools.partial(
+        _kernel, s, n_layers, activation,
+        tuple(tuple(float(x) for x in row) for row in aI),
+        tuple(tuple(float(x) for x in row) for row in aE),
+        tuple(float(x) for x in bI),
+        tuple(float(x) for x in bE),
+        float(sign),
+    )
+    y1_p, ys_p = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(dt_arr, y_p, jf_p, invf_p, *flat)
+    return y1_p[:B, :d], ys_p[:, :B, :d]

@@ -97,14 +97,19 @@ class ODESolver:
 
         f_im, p_im = as_dynamics(func, params)
         # models may opt into the fused single-kernel reverse step by
-        # exposing fused_mlp_spec(variables) (ops/fused_ark_adjoint.py)
+        # exposing fused_mlp_spec(variables) (ops/fused_ark_adjoint.py);
+        # the implicit part must additionally CERTIFY linearity in y (the
+        # fused kernels apply the frozen Jacobian, exact only then)
         self._fused_ex_spec = None
         if imex_form:
             f_ex, p_ex = as_dynamics(func2, params2)
             self.f = (f_im, f_ex)
             self.params = (p_im, p_ex)
             mod = getattr(func2, "module", None)
-            if mod is not None and hasattr(mod, "fused_mlp_spec"):
+            mod_im = getattr(func, "module", None)
+            im_linear = bool(getattr(mod_im, "linear_in_y", False))
+            if (mod is not None and hasattr(mod, "fused_mlp_spec")
+                    and im_linear):
                 self._fused_ex_spec = mod.fused_mlp_spec
         else:
             self.f = f_im

@@ -439,6 +439,38 @@ class ARKIMEX:
         )
 
     def step(self, t, dt, y, params):
+        # fused single-kernel forward (ksponly + linear f_im + MLP f_ex:
+        # the linearized single solve is exact Newton, so the whole stage
+        # loop collapses to matmuls — ops/fused_ark_forward.py)
+        if (
+            y.ndim == 2
+            and y.dtype == jnp.float32
+            and self.setup.newton_cfg.ksponly
+            and not self.setup.newton_cfg.ksponly_check
+        ):
+            fused = self._fused_reverse_args(params)
+            if fused is not None:
+                from .ops.fused_ark_forward import fused_ark_step_fwd
+
+                spec, J, inv_op, interpret = fused
+                y1, aux = fused_ark_step_fwd(
+                    (self._aI, self._aE, self._bI, self._bE), dt, y, J,
+                    inv_op, spec["Ws"], spec["bs"],
+                    activation=spec["activation"], sign=spec["sign"],
+                    interpret=interpret,
+                )
+                n_impl = sum(
+                    1 for i in range(self.tab.stages)
+                    if self._aI[i][i] != 0.0
+                )
+                stats = StepStats(
+                    newton_iters=jnp.array(n_impl, jnp.int32),
+                    newton_converged=jnp.array(True),
+                )
+                return y1, aux, stats
+        return self._step_generic(t, dt, y, params)
+
+    def _step_generic(self, t, dt, y, params):
         params_im, params_ex = params
         aI, aE, bI, bE = self._aI, self._aE, self._bI, self._bE
         s = self.tab.stages
@@ -500,7 +532,7 @@ class ARKIMEX:
                 f"ARK tableau {tab.name!r} has no embedded weights; "
                 "-ts_adapt_type basic requires one of 1bee/3/4"
             )
-        y1, aux, stats = self.step(t, dt, y, params)
+        y1, aux, stats = self._step_generic(t, dt, y, params)
         kI, kE = self._last_ks
         err = jnp.zeros_like(y)
         for i in range(tab.stages):

@@ -130,3 +130,63 @@ def test_fused_gate_stays_off_without_spec():
     y0 = jax.random.normal(key, (batch, nx), dtype)
     pred, _ = ode.solve(y0, jnp.array([0.0, 0.4]), params=params)
     assert np.all(np.isfinite(np.asarray(pred)))
+
+
+def test_fused_gate_requires_linear_implicit_part():
+    """A learnable (non-certified-linear) implicit part must not take the
+    fused path: its J applies would use the frozen Jacobian where the
+    generic adjoint differentiates the true dynamics."""
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["p", "-snes_type", "ksponly",
+                    "-pnode_fused_ark_adjoint", "interpret"])
+    batch, nx = 4, 16
+    dtype = jnp.float32
+    im = KSFuncIM(nx=nx, fixed_linear=False)  # learnable stencil
+    ex = KSFuncEX(nx=nx, hidden=8, use_pallas=True)
+    key = jax.random.PRNGKey(0)
+    y_tmpl = jnp.zeros((batch, nx), dtype)
+    vim = im.init(key, 0.0, y_tmpl)
+    vex = ex.init(key, 0.0, y_tmpl)
+    ode = ODESolver()
+    ode.setupTS(
+        y_tmpl, FlaxFunc(im, vim), step_size=0.2, method="imex",
+        imex_form=True, implicit_form=True, func2=FlaxFunc(ex, vex),
+        linear_solver="hpddm", fixed_jacobian=True, batch_size=batch,
+    )
+    assert ode._fused_ex_spec is None
+
+
+def test_fused_forward_step_matches_generic():
+    """The fused forward kernel (ksponly + linear f_im) must reproduce the
+    generic stage loop's outputs and stage values."""
+    import numpy as np
+
+    batch, nx = 8, 16
+    key = jax.random.PRNGKey(3)
+    y0 = jax.random.normal(key, (batch, nx), jnp.float32)
+
+    ode_g, params = _build(batch, nx, ["-pnode_fused_ark_adjoint", "off"])
+    stp_g = ode_g._stepper.prepare(0.0, y0, params, dt0=jnp.float32(0.2))
+    y1_g, aux_g, st_g = stp_g._step_generic(0.0, jnp.float32(0.2), y0, params)
+
+    ode_f, params_f = _build(
+        batch, nx, ["-pnode_fused_ark_adjoint", "interpret"]
+    )
+    stp_f = ode_f._stepper.prepare(0.0, y0, params_f, dt0=jnp.float32(0.2))
+    y1_f, aux_f, st_f = stp_f.step(0.0, jnp.float32(0.2), y0, params_f)
+
+    np.testing.assert_allclose(np.asarray(y1_f), np.asarray(y1_g),
+                               rtol=3e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux_f), np.asarray(aux_g),
+                               rtol=3e-5, atol=1e-6)
+    assert bool(st_f.newton_converged)
+
+    # and end-to-end training-step gradients with BOTH fused kernels active
+    t_out = jnp.array([0.0, 0.6])
+    l_g, g_g = _grads(ode_g, params, y0, t_out)
+    l_f, g_f = _grads(ode_f, params_f, y0, t_out)
+    np.testing.assert_allclose(float(l_f), float(l_g), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
