@@ -41,6 +41,15 @@ parser.add_argument("--early_stop_int", action="store_true",
                     help="evaluate at intermediate integration times and "
                          "report the best (the reference's early-stop-solver "
                          "mode, grand/src/early_stop_solver.py)")
+parser.add_argument("--rewiring", type=str, default="none",
+                    choices=["none", "two_hop", "gdc"],
+                    help="graph rewiring (ref graph_rewiring.py)")
+parser.add_argument("--gdc_alpha", type=float, default=0.05)
+parser.add_argument("--gdc_k", type=int, default=64)
+parser.add_argument("--beltrami", action="store_true",
+                    help="positional-encoding (beltrami) mode")
+parser.add_argument("--pos_enc_dim", type=int, default=16)
+parser.add_argument("--pos_enc_hidden", type=int, default=16)
 parser.add_argument("--seed", type=int, default=0)
 parser.add_argument("--train_dir", type=str, default="./train_results_grand")
 parser.add_argument("--cpu", action="store_true")
@@ -55,7 +64,15 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from pnode_tpu.models.grand import GRANDModel, get_rw_adj, synthetic_sbm
+from pnode_tpu.models.grand import (
+    GRANDModel,
+    Graph,
+    gdc_rewiring,
+    get_rw_adj,
+    laplacian_positional_encoding,
+    synthetic_sbm,
+    two_hop,
+)
 from pnode_tpu.utils import Recorder, makedirs
 
 
@@ -65,7 +82,23 @@ def main():
         print(f"dataset {args.dataset!r} files unavailable offline; using "
               "the SBM surrogate")
     n = len(data["y"])
-    graph = get_rw_adj(data["edge_index"], n, self_loop_weight=1.0)
+    edge_index = data["edge_index"]
+    if args.rewiring == "two_hop":
+        edge_index = two_hop(edge_index, n)
+        print(f"two-hop rewiring: {data['edge_index'].shape[1]} -> "
+              f"{edge_index.shape[1]} edges")
+    if args.rewiring == "gdc":
+        edge_index, ew = gdc_rewiring(edge_index, n, alpha=args.gdc_alpha,
+                                      k=args.gdc_k)
+        print(f"gdc rewiring: {data['edge_index'].shape[1]} -> "
+              f"{edge_index.shape[1]} edges")
+        graph = Graph(jnp.asarray(edge_index), jnp.asarray(ew), n)
+    else:
+        graph = get_rw_adj(edge_index, n, self_loop_weight=1.0)
+    pos_enc = None
+    if args.beltrami:
+        pos_enc = jnp.asarray(laplacian_positional_encoding(
+            data["edge_index"], n, args.pos_enc_dim))
     n_classes = int(data["y"].max()) + 1
     print(f"graph: {n} nodes, {graph.edge_index.shape[1]} edges, "
           f"{n_classes} classes")
@@ -75,12 +108,15 @@ def main():
         function=args.function, block=args.block, T=args.time,
         step_size=args.step_size, method=args.method, heads=args.heads,
         input_dropout=args.input_dropout, dropout=args.dropout,
+        pos_dim=args.pos_enc_dim if args.beltrami else 0,
+        pos_hidden=args.pos_enc_hidden,
     )
     x = jnp.asarray(data["x"])
     y = jnp.asarray(data["y"])
     masks = {k: jnp.asarray(data[k]) for k in
              ("train_mask", "val_mask", "test_mask")}
-    params = model.init(jax.random.PRNGKey(args.seed), x)
+    params = model.init(jax.random.PRNGKey(args.seed), x,
+                        pos_encoding=pos_enc)
 
     opt = optax.adamw(args.lr, weight_decay=args.decay)
     opt_state = opt.init(params)
@@ -88,7 +124,8 @@ def main():
     @jax.jit
     def train_step(p, s, rng):
         def loss_fn(pp):
-            logits = model.apply(pp, x, training=True, rng=rng)
+            logits = model.apply(pp, x, training=True, rng=rng,
+                                 pos_encoding=pos_enc)
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
             return jnp.sum(ce * masks["train_mask"]) / jnp.sum(
                 masks["train_mask"]
@@ -100,7 +137,7 @@ def main():
 
     @jax.jit
     def accuracy(p):
-        logits = model.apply(p, x, training=False)
+        logits = model.apply(p, x, training=False, pos_encoding=pos_enc)
         pred = jnp.argmax(logits, -1)
         out = {}
         for k, m in masks.items():
@@ -111,7 +148,8 @@ def main():
 
     @jax.jit
     def accuracy_multi(p):
-        logits_t = model.apply_multi(p, x, eval_times)
+        logits_t = model.apply_multi(p, x, eval_times,
+                                     pos_encoding=pos_enc)
         pred_t = jnp.argmax(logits_t, -1)  # (n_t, N)
         val_acc = jnp.sum((pred_t == y) * masks["val_mask"], -1) / jnp.sum(
             masks["val_mask"]

@@ -211,13 +211,22 @@ def main():
     )
     for epoch in range(start_epoch, args.max_epochs):
         t0 = time.time()
+        # keep losses on-device during the epoch: a float() per iteration
+        # costs one host round-trip each (on the tunneled chip that
+        # dominated the epoch) — sync once at epoch end
+        epoch_losses = []
         for y0_np, tgt_np in train_loader:
             y0 = jnp.asarray(y0_np, dtype)
             tgt = jnp.asarray(tgt_np, dtype)
             params, opt_state, loss = train_step(params, opt_state, y0, tgt)
-            loss_meter.update(float(loss))
-            writer.add_scalar("Train/Loss", float(loss), step)
+            epoch_losses.append(loss)
             step += 1
+        for i, lv in enumerate(np.asarray(
+                jax.device_get(jnp.stack(epoch_losses)))):
+            loss_meter.update(float(lv))
+            writer.add_scalar(
+                "Train/Loss", float(lv), step - len(epoch_losses) + i
+            )
         if epoch % args.validate_freq == 0:
             # single full-validation batch, like the reference's
             # len(val)-window loader (KS.py:200-210)

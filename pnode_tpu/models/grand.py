@@ -53,6 +53,75 @@ def get_rw_adj(edge_index, num_nodes, self_loop_weight=1.0):
     return Graph(jnp.asarray(ei), jnp.asarray(w), num_nodes)
 
 
+def two_hop(edge_index, num_nodes):
+    """Add all 2-hop edges (the reference's TwoHop rewiring,
+    graph_rewiring.py:60-72 via torch_geometric.transforms.TwoHop). Dense
+    boolean adjacency product — host-side preprocessing at Cora scale."""
+    ei = np.asarray(edge_index)
+    A = np.zeros((num_nodes, num_nodes), dtype=bool)
+    A[ei[0], ei[1]] = True
+    A2 = (A.astype(np.int32) @ A.astype(np.int32)) > 0
+    np.fill_diagonal(A2, False)
+    merged = A | A2
+    src, dst = np.nonzero(merged)
+    return np.stack([src, dst])
+
+
+def gdc_rewiring(edge_index, num_nodes, alpha=0.05, k=64, eps=None,
+                 self_loop_weight=1.0):
+    """Graph diffusion convolution (PPR) rewiring
+    (graph_rewiring.py:74-180 apply_gdc, method "ppr"): S = a (I-(1-a)T)^-1
+    on the sym-normalized adjacency, then sparsify by top-k per column or
+    threshold eps. Dense solve — host-side, fine at Cora scale. Returns
+    (edge_index, edge_weight)."""
+    ei, ew = add_self_loops(edge_index, num_nodes, self_loop_weight)
+    A = np.zeros((num_nodes, num_nodes))
+    A[ei[0], ei[1]] += ew
+    deg = np.maximum(A.sum(axis=1), 1e-12)
+    Dm = 1.0 / np.sqrt(deg)
+    T = Dm[:, None] * A * Dm[None, :]
+    S = alpha * np.linalg.inv(np.eye(num_nodes) - (1 - alpha) * T)
+    if eps is not None:
+        S[S < eps] = 0.0
+    else:
+        # exactly top-k per column (the reference uses argpartition-style
+        # top-k; a threshold keeps ties and overshoots k)
+        kk = min(int(k), num_nodes)
+        keep = np.argpartition(S, -kk, axis=0)[-kk:]
+        mask = np.zeros_like(S, dtype=bool)
+        mask[keep, np.arange(S.shape[1])[None, :]] = True
+        S[~mask] = 0.0
+    # column-normalize like the reference's GDC transform
+    colsum = np.maximum(S.sum(axis=0), 1e-12)
+    S = S / colsum[None, :]
+    src, dst = np.nonzero(S.T)  # edges src->dst with weight S[dst, src]
+    w = S[dst, src]
+    return np.stack([src, dst]), w
+
+
+def laplacian_positional_encoding(edge_index, num_nodes, dim):
+    """Symmetric-Laplacian eigenvector positional encodings for beltrami
+    mode. The reference loads cached DeepWalk/GDC encodings from disk
+    (graph_rewiring.py:317-380 apply_beltrami); those need data files or
+    egress, so the standard Laplacian-PE substitute is computed here
+    (smallest nontrivial eigenvectors; sign-fixed for determinism)."""
+    ei = np.asarray(edge_index)
+    A = np.zeros((num_nodes, num_nodes))
+    A[ei[0], ei[1]] = 1.0
+    A = np.maximum(A, A.T)
+    deg = np.maximum(A.sum(1), 1e-12)
+    Dm = 1.0 / np.sqrt(deg)
+    L = np.eye(num_nodes) - Dm[:, None] * A * Dm[None, :]
+    vals, vecs = np.linalg.eigh(L)
+    pe = vecs[:, 1:dim + 1]
+    # deterministic sign convention
+    signs = np.sign(pe[np.argmax(np.abs(pe), axis=0), np.arange(pe.shape[1])])
+    pe = pe * np.where(signs == 0, 1.0, signs)[None, :]
+    if pe.shape[1] < dim:
+        pe = np.pad(pe, ((0, 0), (0, dim - pe.shape[1])))
+    return pe.astype(np.float32)
+
+
 def spmm(graph: Graph, w, x):
     """A @ x with per-edge weights w: segment-sum of weighted src features."""
     src, dst = graph.edge_index
@@ -171,6 +240,8 @@ class GRANDModel:
         input_dropout: float = 0.5,
         dropout: float = 0.5,
         add_source: bool = True,
+        pos_dim: int = 0,
+        pos_hidden: int = 16,
     ):
         from ..solver import ODESolver
 
@@ -180,7 +251,21 @@ class GRANDModel:
         self.block = block
         self.input_dropout = input_dropout
         self.dropout = dropout
-        self.enc = nn.Dense(hidden_dim)
+        # beltrami mode (GNN.py:25-32): separate encoders for features and
+        # positional encodings, concatenated into the diffused state
+        self.pos_dim = int(pos_dim)
+        self.pos_hidden = int(pos_hidden) if pos_dim else 0
+        if self.pos_dim and self.pos_hidden >= hidden_dim:
+            raise ValueError(
+                f"pos_hidden ({self.pos_hidden}) must be < hidden_dim "
+                f"({hidden_dim}): the feature encoder gets the remainder"
+            )
+        if self.pos_dim:
+            self.enc = nn.Dense(hidden_dim - self.pos_hidden)
+            self.enc_pos = nn.Dense(self.pos_hidden)
+        else:
+            self.enc = nn.Dense(hidden_dim)
+            self.enc_pos = None
         self.dec = nn.Dense(n_classes)
         if function == "laplacian":
             self.func = LaplacianFunc(hidden_dim, add_source=add_source)
@@ -192,14 +277,28 @@ class GRANDModel:
         self.step_size = step_size
         self._solvers = {}
 
-    def init(self, key, x):
-        k1, k2, k3 = jax.random.split(key, 3)
+    def init(self, key, x, pos_encoding=None):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         h = jnp.zeros((x.shape[0], self.hidden), x.dtype)
-        return {
+        params = {
             "enc": self.enc.init(k1, x),
             "func": self.func.init(k2, 0.0, h, self.graph, h),
             "dec": self.dec.init(k3, h),
         }
+        if self.pos_dim:
+            if pos_encoding is None:
+                raise ValueError("beltrami mode needs pos_encoding")
+            params["enc_pos"] = self.enc_pos.init(k4, pos_encoding)
+        return params
+
+    def _encode(self, params, x, pos_encoding):
+        h = self.enc.apply(params["enc"], x)
+        if self.pos_dim:
+            if pos_encoding is None:
+                raise ValueError("beltrami mode needs pos_encoding")
+            p = self.enc_pos.apply(params["enc_pos"], pos_encoding)
+            h = jnp.concatenate([h, p.astype(h.dtype)], axis=-1)
+        return h
 
     def _get_solver(self, shape, dtype, training):
         key = (shape, str(dtype), training, self.block)
@@ -236,7 +335,7 @@ class GRANDModel:
             self._solvers[key] = ode
         return ode
 
-    def apply_multi(self, params, x, times):
+    def apply_multi(self, params, x, times, pos_encoding=None):
         """Decoded logits at several integration times (n_t, N, C).
 
         The evaluation mode behind the reference's early-stop solver
@@ -247,7 +346,7 @@ class GRANDModel:
         """
         import numpy as np_
 
-        h0 = self.enc.apply(params["enc"], x)
+        h0 = self._encode(params, x, pos_encoding)
         ode = self._get_solver(h0.shape, h0.dtype, False)
         p = {"func": params["func"], "x0": h0}
         if self.block == "imex":
@@ -256,13 +355,14 @@ class GRANDModel:
         sol, _ = ode.solve(h0, t_out, params=p, with_adjoint=False)
         return jax.vmap(lambda h: self.dec.apply(params["dec"], h))(sol)
 
-    def apply(self, params, x, training: bool = True, rng=None):
+    def apply(self, params, x, training: bool = True, rng=None,
+              pos_encoding=None):
         if training and rng is not None:
             k1, k2 = jax.random.split(rng)
             x = x * jax.random.bernoulli(
                 k1, 1 - self.input_dropout, x.shape
             ) / (1 - self.input_dropout)
-        h0 = self.enc.apply(params["enc"], x)
+        h0 = self._encode(params, x, pos_encoding)
         ode = self._get_solver(h0.shape, h0.dtype, training)
         p = {"func": params["func"], "x0": h0}
         if self.block == "imex":

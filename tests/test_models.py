@@ -131,3 +131,55 @@ def test_grand_model_trains_one_step():
     p1, s, l1 = step(params, s)
     p2, s, l2 = step(p1, s)
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+
+
+def test_grand_rewiring_and_beltrami():
+    """Two-hop / GDC rewiring + Laplacian-PE beltrami mode (the reference's
+    graph_rewiring.py capabilities, rebuilt host-side + flax)."""
+    from pnode_tpu.models.grand import (
+        GRANDModel,
+        gdc_rewiring,
+        get_rw_adj,
+        laplacian_positional_encoding,
+        synthetic_sbm,
+        two_hop,
+    )
+
+    data = synthetic_sbm(n_nodes=60, n_classes=3, feat_dim=8, seed=1)
+    n = 60
+    ei = data["edge_index"]
+
+    ei2 = two_hop(ei, n)
+    # two-hop adds edges, keeps all originals
+    s1 = {(int(a), int(b)) for a, b in zip(*ei)}
+    s2 = {(int(a), int(b)) for a, b in zip(*ei2)}
+    assert s1 <= s2 and len(s2) > len(s1)
+
+    ei3, w3 = gdc_rewiring(ei, n, alpha=0.1, k=8)
+    assert ei3.shape[0] == 2 and w3.shape[0] == ei3.shape[1]
+    assert np.all(w3 > 0)
+    # top-k per column bounds each SOURCE's out-degree (column j of the
+    # PPR matrix = out-edges of node j)
+    counts = np.bincount(ei3[0], minlength=n)
+    assert counts.max() <= 8
+
+    pe = laplacian_positional_encoding(ei, n, dim=6)
+    assert pe.shape == (60, 6)
+    assert np.all(np.isfinite(pe))
+
+    graph = get_rw_adj(ei2, n)
+    model = GRANDModel(graph, in_dim=8, hidden_dim=16, n_classes=3,
+                       function="laplacian", block="pnode", T=0.5,
+                       step_size=0.25, pos_dim=6, pos_hidden=4)
+    x = jnp.asarray(data["x"])
+    params = model.init(jax.random.PRNGKey(0), x, pos_encoding=jnp.asarray(pe))
+    logits = model.apply(params, x, training=False,
+                         pos_encoding=jnp.asarray(pe))
+    assert logits.shape == (60, 3)
+    # gradient flows through the beltrami encoders
+    def loss(p):
+        lg = model.apply(p, x, training=False, pos_encoding=jnp.asarray(pe))
+        return jnp.mean(lg ** 2)
+    g = jax.grad(loss)(params)
+    assert any(float(jnp.sum(jnp.abs(a))) > 0
+               for a in jax.tree_util.tree_leaves(g["enc_pos"]))
