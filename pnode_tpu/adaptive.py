@@ -35,10 +35,17 @@ class AdaptConfig:
     rtol: float = 1e-4
     atol: float = 1e-4
     safety: float = 0.9
-    dt_min_factor: float = 0.1   # max shrink per step (PETSc basic: clip low)
-    dt_max_factor: float = 10.0  # max growth per step (PETSc basic: clip high)
+    dt_min_factor: float = 0.1   # max shrink per step (-ts_adapt_clip low)
+    dt_max_factor: float = 10.0  # max growth per step (-ts_adapt_clip high)
     max_steps: int = 4096        # trial-step buffer bound (static)
     order: int = 5               # used for the controller exponent
+    # controller: "basic" = PETSc's elementary I-controller;
+    # "pi" = two-error-history PI controller (Hairer-Wanner II.4:
+    # fac = safety * err^(-kI/(p+1)) * err_prev^(kP/(p+1))), smoother dt
+    # sequences on mildly stiff problems
+    controller: str = "basic"
+    pi_kI: float = 0.7
+    pi_kP: float = 0.4
 
 
 class AdaptiveStats(NamedTuple):
@@ -75,7 +82,8 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
         outputs0 = jnp.broadcast_to(y0, (n_out,) + y0.shape).astype(dtype)
 
         def body(carry, _):
-            t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv = carry
+            (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv,
+             eprev) = carry
             done = out_i >= n_out
             target = touts[jnp.minimum(out_i, n_out - 1)]
             # MATCHSTEP: truncate onto the next requested output
@@ -87,12 +95,18 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
             accept = jnp.logical_or(enorm <= 1.0, dt_try <= 1e-14 * t_end)
             accept = jnp.logical_and(accept, jnp.logical_not(done))
 
-            # PI-style basic controller (safety + clipping)
-            fac = cfg.safety * jnp.power(
-                jnp.maximum(enorm, 1e-10), -expo
-            )
+            e_cur = jnp.maximum(enorm, 1e-10)
+            if cfg.controller == "pi":
+                # two-error-history PI controller (Hairer-Wanner II.4)
+                fac = (cfg.safety
+                       * jnp.power(e_cur, -cfg.pi_kI * expo)
+                       * jnp.power(eprev, cfg.pi_kP * expo))
+            else:
+                # elementary controller (PETSc TSAdapt basic)
+                fac = cfg.safety * jnp.power(e_cur, -expo)
             fac = jnp.clip(fac, cfg.dt_min_factor, cfg.dt_max_factor)
             dt_next = jnp.where(done, dt, dt * fac)
+            eprev_new = jnp.where(accept, e_cur, eprev)
 
             t_new = jnp.where(accept, t + dt_try, t)
             y_new = jax.tree_util.tree_map(
@@ -117,7 +131,7 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
             nit = nit + st.newton_iters
             conv = jnp.logical_and(conv, st.newton_converged)
             new_carry = (t_new, y_new, dt_next, out_i, outputs, n_acc, n_rej,
-                         nit, conv)
+                         nit, conv, eprev_new)
             rec = (y, t, dt_try, accept, out_slot)
             return new_carry, rec
 
@@ -125,9 +139,10 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
             jnp.asarray(t_out[0], dtype), y0, jnp.asarray(dt0, dtype),
             jnp.asarray(1), outputs0, jnp.asarray(0), jnp.asarray(0),
             jnp.asarray(0, jnp.int32), jnp.asarray(True),
+            jnp.asarray(1.0, dtype),
         )
         carry, recs = lax.scan(body, init, None, length=max_steps)
-        (_, _, _, out_i, outputs, n_acc, n_rej, nit, conv) = carry
+        (_, _, _, out_i, outputs, n_acc, n_rej, nit, conv, _) = carry
         stats = AdaptiveStats(
             steps=n_acc + n_rej, accepted=n_acc, rejected=n_rej,
             newton_iters=nit, newton_converged=conv,

@@ -41,6 +41,10 @@ class OptionsDatabase:
         self._cli: Dict[str, str] = {}
         self._programmatic: Dict[str, str] = {}
         self._used: set = set()
+        # every queried flag with its default: the -help registry (PETSc
+        # prints registered options during setFromOptions; here the
+        # registry accumulates as objects configure themselves)
+        self._registry: Dict[str, str] = {}
 
     # -- population ------------------------------------------------------
 
@@ -85,6 +89,7 @@ class OptionsDatabase:
             self._cli.clear()
             self._programmatic.clear()
             self._used.clear()
+            self._registry.clear()
 
     def delete(self, name: str) -> None:
         with self._lock:
@@ -92,6 +97,14 @@ class OptionsDatabase:
             self._programmatic.pop(name, None)
 
     # -- access ----------------------------------------------------------
+
+    def _register(self, name: str, default) -> None:
+        self._registry.setdefault(name, _to_str(default) if default is not None else "")
+
+    def registry(self) -> Dict[str, str]:
+        """Queried option names -> default values (the -help listing)."""
+        with self._lock:
+            return dict(sorted(self._registry.items()))
 
     def _raw(self, name: str) -> Tuple[bool, Optional[str]]:
         if name in self._cli:
@@ -107,18 +120,22 @@ class OptionsDatabase:
         return found
 
     def get_string(self, name: str, default: Optional[str] = None) -> Optional[str]:
+        self._register(name.lstrip("-"), default)
         found, val = self._raw(name.lstrip("-"))
         return val if found else default
 
     def get_real(self, name: str, default: Optional[float] = None) -> Optional[float]:
+        self._register(name.lstrip("-"), default)
         found, val = self._raw(name.lstrip("-"))
         return float(val) if found and val != "" else default
 
     def get_int(self, name: str, default: Optional[int] = None) -> Optional[int]:
+        self._register(name.lstrip("-"), default)
         found, val = self._raw(name.lstrip("-"))
         return int(val) if found and val != "" else default
 
     def get_bool(self, name: str, default: bool = False) -> bool:
+        self._register(name.lstrip("-"), default)
         found, val = self._raw(name.lstrip("-"))
         if not found:
             return default
@@ -161,6 +178,45 @@ def _to_str(value) -> str:
 _db = OptionsDatabase()
 
 
+_EXIT_HOOKS_SET = False
+
+
+def _install_exit_hooks() -> None:
+    """PETSc parity: ``-options_left`` warns about never-queried flags at
+    exit; ``-help`` prints the accumulated option registry at exit (options
+    register as objects configure themselves, so exit time is when the
+    listing is complete)."""
+    global _EXIT_HOOKS_SET
+    if _EXIT_HOOKS_SET:
+        return
+    _EXIT_HOOKS_SET = True
+    import atexit
+
+    def _report():
+        if _db.has("help"):
+            reg = _db.registry()
+            vals = _db.snapshot()
+            print("pnode_tpu options (queried this run):", file=sys.stderr)
+            for name, default in reg.items():
+                cur = vals.get(name)
+                mark = f" = {cur}" if cur is not None else ""
+                print(f"  -{name} (default: {default or '<none>'}){mark}",
+                      file=sys.stderr)
+        if _db.has("options_left"):
+            _db._used.add("options_left")
+            _db._used.add("help")
+            left = _db.options_left()
+            if left:
+                print(
+                    "WARNING! There are options you set that were not used!",
+                    file=sys.stderr,
+                )
+                for name in left:
+                    print(f"  Option left: -{name}", file=sys.stderr)
+
+    atexit.register(_report)
+
+
 def init(argv: Optional[List[str]] = None) -> List[str]:
     """Parse a PETSc-style option tail into the global database.
 
@@ -174,7 +230,10 @@ def init(argv: Optional[List[str]] = None) -> List[str]:
     """
     if argv is None:
         argv = sys.argv
-    return _db.parse_argv(list(argv[1:]))
+    rest = _db.parse_argv(list(argv[1:]))
+    if _db.has("options_left") or _db.has("help"):
+        _install_exit_hooks()
+    return rest
 
 
 def set_option(name: str, value) -> None:
@@ -187,6 +246,11 @@ def clear_options() -> None:
 
 def options_left() -> List[str]:
     return _db.options_left()
+
+
+def options_help() -> Dict[str, str]:
+    """Queried option names -> defaults (what ``-help`` prints at exit)."""
+    return _db.registry()
 
 
 class Options:

@@ -308,12 +308,27 @@ class ODESolver:
                 )
             tab = getattr(self._stepper, "tab", None)
             order = getattr(tab, "order", 5) if tab is not None else 2
+            # -ts_adapt_clip low,high (PETSc TSAdaptSetClip parity)
+            clip = self.opts.get_string("ts_adapt_clip", "")
+            lo, hi = 0.1, 10.0
+            if clip:
+                parts = [p for p in clip.replace(",", " ").split() if p]
+                if len(parts) == 2:
+                    lo, hi = float(parts[0]), float(parts[1])
+                else:
+                    warnings.warn(
+                        f"-ts_adapt_clip expects 'low,high'; got {clip!r}"
+                    )
             cfg = AdaptConfig(
                 rtol=self.opts.get_real("ts_rtol", 1e-4),
                 atol=self.opts.get_real("ts_atol", 1e-4),
+                safety=self.opts.get_real("ts_adapt_safety", 0.9),
+                dt_min_factor=lo,
+                dt_max_factor=hi,
                 max_steps=min(self.max_steps,
                               self.opts.get_int("ts_adapt_max_steps", 4096)),
                 order=order,
+                controller="pi" if self.adapt_type == "pi" else "basic",
             )
             dt0 = (
                 float(self.step_size[0])

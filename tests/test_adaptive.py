@@ -166,3 +166,36 @@ def test_adaptive_imex_ark5_embedded():
     ref, _ = ode2.solve(Y0, jnp.asarray([0.0, 1.0]), params=params,
                         with_adjoint=False)
     np.testing.assert_allclose(sol[-1], ref[-1], rtol=1e-6, atol=1e-8)
+
+
+def test_pi_controller_and_adapt_clip():
+    """-ts_adapt_type pi (two-error-history controller) + -ts_adapt_clip
+    parity: both accepted, solution matches basic's to tolerance, clip
+    bounds honored (a tiny high-clip forces more steps)."""
+    def f(t, y, p):
+        return p["a"] * y
+
+    P = {"a": jnp.array(-1.5)}
+
+    def run(flags):
+        pnode_tpu.clear_options()
+        pnode_tpu.init(["p", "-ts_rtol", "1e-7", "-ts_atol", "1e-9"] + flags)
+        ode = ODESolver()
+        ode.setupTS(Y0, Func(f, P), step_size=0.05, method="dopri5",
+                    enable_adjoint=False)
+        return ode.solve(Y0, jnp.asarray([0.0, 1.0]), params=P,
+                         with_adjoint=False)
+
+    sol_b, st_b = run(["-ts_adapt_type", "basic"])
+    sol_pi, st_pi = run(["-ts_adapt_type", "pi"])
+    assert bool(st_pi.completed)
+    np.testing.assert_allclose(np.asarray(sol_pi[-1]), np.asarray(sol_b[-1]),
+                               rtol=1e-6)
+    exact = np.asarray(Y0) * np.exp(-1.5)
+    np.testing.assert_allclose(np.asarray(sol_pi[-1]), exact, rtol=1e-5)
+
+    # clip: capping growth at 1.05x forces many more accepted steps
+    sol_c, st_c = run(["-ts_adapt_type", "basic",
+                       "-ts_adapt_clip", "0.5,1.05"])
+    assert int(st_c.accepted) > int(st_b.accepted)
+    np.testing.assert_allclose(np.asarray(sol_c[-1]), exact, rtol=1e-5)

@@ -93,3 +93,24 @@ def test_inner_ksp_prefix_overrides():
     ode2.setupTS(jnp.zeros(2), Func(lambda t, y, p: -y, {}), step_size=0.1,
                  method="cn", implicit_form=True)
     assert ode2.lin_cfg.rtol == 1e-6
+
+
+def test_help_registry_accumulates_queried_options():
+    """-help parity: every queried option lands in the registry with its
+    default (printed at exit when -help is set)."""
+    import pnode_tpu
+    from pnode_tpu.options import options_help
+
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["p", "-ts_type", "cn"])
+    import jax.numpy as jnp
+
+    from pnode_tpu import ODESolver
+
+    ode = ODESolver()
+    ode.setupTS(jnp.ones((1, 2)), lambda t, y: -y, step_size=0.1,
+                method="dopri5")
+    reg = options_help()
+    assert "ts_type" in reg
+    assert "snes_rtol" in reg and reg["snes_rtol"] == "1e-08"
+    assert "ts_trajectory_max_cps_ram" in reg
