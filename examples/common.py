@@ -45,15 +45,17 @@ def to_jax_tree(tree, dtype=None):
 
 
 def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
-    """Pickle a dict of pytrees/metadata (params, opt state, epoch, ...)."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        pickle.dump(to_numpy_tree(payload), f)
+    """Save a dict of pytrees/metadata; honors -pnode_checkpoint_format
+    {pickle,orbax} (pnode_tpu.utils.checkpoint)."""
+    from pnode_tpu.utils import save_checkpoint as _save
+
+    _save(path, payload)
 
 
 def load_checkpoint(path: str):
-    with open(path, "rb") as f:
-        return pickle.load(f)
+    from pnode_tpu.utils import load_checkpoint as _load
+
+    return _load(path)
 
 
 def count_params(tree) -> int:

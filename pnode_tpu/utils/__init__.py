@@ -4,6 +4,7 @@ from .recorder import Recorder
 from .metrics import MetricsWriter
 from .debug import SolverDivergedError, assert_converged, dump_state, nan_guard
 from .profiling import annotate, device_memory_gb, trace
+from .checkpoint import load_checkpoint, save_checkpoint
 
 __all__ = [
     "RunningAverageMeter",
@@ -19,4 +20,6 @@ __all__ = [
     "annotate",
     "device_memory_gb",
     "trace",
+    "save_checkpoint",
+    "load_checkpoint",
 ]

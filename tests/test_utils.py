@@ -140,3 +140,32 @@ def test_ks_generator_long_trajectories_finite():
     assert u.shape == (2500, 64)
     assert np.isfinite(u).all()
     assert 0.5 < u.std() < 5.0  # on the attractor, not collapsed/exploded
+
+
+def test_checkpoint_backends_roundtrip(tmp_path):
+    """pickle and orbax checkpoint backends round-trip pytrees + metadata
+    (-pnode_checkpoint_format; reference protocol = torch.save dicts)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pnode_tpu.utils import load_checkpoint, save_checkpoint
+
+    payload = {
+        "epoch": 7,
+        "best": 0.125,
+        "params": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3)},
+    }
+    p1 = str(tmp_path / "ck.pkl")
+    save_checkpoint(p1, payload, format="pickle")
+    r1 = load_checkpoint(p1)
+    assert r1["epoch"] == 7
+    np.testing.assert_allclose(r1["params"]["w"], payload["params"]["w"])
+
+    p2 = str(tmp_path / "ck_orbax")
+    save_checkpoint(p2, payload, format="orbax")
+    r2 = load_checkpoint(p2)
+    np.testing.assert_allclose(np.asarray(r2["params"]["b"]), 1.0)
+    np.testing.assert_allclose(r2["params"]["w"], np.asarray(payload["params"]["w"]))
+    # overwrite semantics match pickle's
+    save_checkpoint(p2, {**payload, "epoch": 8}, format="orbax")
+    assert int(load_checkpoint(p2)["epoch"]) == 8
