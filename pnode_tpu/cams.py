@@ -373,6 +373,114 @@ def _plan_two_level(n: int, m: int, w: int):
     return fwd, rev
 
 
+# ---------------------------------------------------------------------------
+# Scanned-executor compilation: plan -> slot-addressed unit action table
+# ---------------------------------------------------------------------------
+
+# unit-action opcodes for the scanned executor (adjoint._cams_bwd_scan)
+A_RESTORE_SOL = 0    # cursor <- solbuf[slot]
+A_RESTORE_STAGE = 1  # cursor <- stagebuf_y[slot]
+A_ADVANCE = 2        # cursor <- step(k, cursor)
+A_STORE = 3          # solbuf[slot] <- cursor
+A_REVERSE = 4        # lam <- step_adj(k, cursor, aux=None, lam) + force[k]
+A_CAPTURE = 5        # stagebuf[slot] <- (cursor, aux of step k); cursor <- y1
+A_REVERSE_STAGE = 6  # lam <- step_adj(k, stagebuf[slot], lam) + force[k]
+
+
+def compile_plan(fwd, rev, n: int):
+    """Compile a (fwd_stores, reverse_actions) plan into fixed-slot arrays
+    for a scanned executor whose jaxpr contains each stepper body once
+    (the CAMS generalization of the revolve action machine,
+    adjoint._revolve_bwd_scan; VERDICT r1 weak #4).
+
+    Returns a dict:
+      fwd_sol[k]   -- solution slot to write BEFORE step k (dummy = n_sol)
+      fwd_stage[k] -- stage slot to write AT step k       (dummy = n_stage)
+      actions[L,3] -- (op, slot, k) unit actions for the reverse phase
+      n_sol / n_stage -- peak live slot counts (buffers sized +1 for dummy)
+
+    DROP is compile-time only (frees a slot for reuse); ADVANCE is expanded
+    to unit steps so every action touches at most one stepper invocation.
+    """
+    import numpy as _np
+
+    sol_slot = {0: 0}       # node 0 = y0, pre-seeded in slot 0
+    stage_slot = {}
+    sol_free: List[int] = []
+    stage_free: List[int] = []
+    sol_next, stage_next = 1, 0
+
+    def alloc(free, nxt):
+        if free:
+            return free.pop(), nxt
+        return nxt, nxt + 1
+
+    fwd_sol = _np.full(max(n, 1), -1, _np.int32)
+    fwd_stage = _np.full(max(n, 1), -1, _np.int32)
+    for op, k in fwd:
+        if op == STORE:
+            if k not in sol_slot:
+                s, sol_next = alloc(sol_free, sol_next)
+                sol_slot[k] = s
+            if k < n:
+                fwd_sol[k] = sol_slot[k]
+        elif op == CAPTURE:
+            s, stage_next = alloc(stage_free, stage_next)
+            stage_slot[k] = s
+            fwd_stage[k] = s
+        else:  # pragma: no cover - planner emits only STORE/CAPTURE forward
+            raise AssertionError(f"bad forward op {op}")
+
+    actions: List[Tuple[int, int, int]] = []
+    cursor = 0
+    for op, k in rev:
+        if op == RESTORE:
+            if k in sol_slot:
+                actions.append((A_RESTORE_SOL, sol_slot[k], 0))
+            else:
+                actions.append((A_RESTORE_STAGE, stage_slot[k], 0))
+            cursor = k
+        elif op == ADVANCE:
+            for j in range(cursor, k):
+                actions.append((A_ADVANCE, 0, j))
+            cursor = k
+        elif op == STORE:
+            s, sol_next = alloc(sol_free, sol_next)
+            sol_slot[k] = s
+            actions.append((A_STORE, s, 0))
+        elif op == REVERSE:
+            actions.append((A_REVERSE, 0, k))
+        elif op == CAPTURE:
+            s, stage_next = alloc(stage_free, stage_next)
+            stage_slot[k] = s
+            actions.append((A_CAPTURE, s, k))
+            cursor = k + 1
+        elif op == REVERSE_STAGE:
+            s = stage_slot.pop(k)
+            actions.append((A_REVERSE_STAGE, s, k))
+            stage_free.append(s)
+        elif op == DROP:
+            sol_free.append(sol_slot.pop(k))
+        else:  # pragma: no cover
+            raise AssertionError(f"unknown op {op}")
+
+    acts = (
+        _np.asarray(actions, _np.int32)
+        if actions
+        else _np.zeros((0, 3), _np.int32)
+    )
+    # dummy slots absorb the "no store at this step" lanes of the fwd scan
+    fwd_sol[fwd_sol < 0] = sol_next
+    fwd_stage[fwd_stage < 0] = stage_next
+    return {
+        "fwd_sol": fwd_sol,
+        "fwd_stage": fwd_stage,
+        "actions": acts,
+        "n_sol": sol_next,
+        "n_stage": stage_next,
+    }
+
+
 def validate_plan(fwd, rev, n: int, m: int, w: int) -> dict:
     """Simulate both phases; raise on inconsistency or budget violation.
 

@@ -291,3 +291,206 @@ def test_cams_solve_values_match_store_all():
                       "-ts_trajectory_schedule", "cams"])
     np.testing.assert_allclose(np.asarray(s_cam), np.asarray(s_ref),
                                rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# scanned executor: compiled unit-action table (adjoint._cams_bwd_scan)
+# ---------------------------------------------------------------------------
+
+
+def _simulate_compiled(comp, n):
+    """Independent replay of a compiled action table: every step must be
+    reversed exactly once in order n-1..0, every read must hit a slot that
+    holds the node the action expects."""
+    n_sol, n_stage = comp["n_sol"], comp["n_stage"]
+    sol = [None] * (n_sol + 1)
+    stage = [None] * (n_stage + 1)
+    sol[0] = 0  # y0 pre-seeded by the executor
+    for k in range(n):
+        if comp["fwd_sol"][k] < n_sol:
+            sol[comp["fwd_sol"][k]] = k
+        if comp["fwd_stage"][k] < n_stage:
+            stage[comp["fwd_stage"][k]] = k
+    cursor = 0
+    next_rev = n - 1
+    for op, slot, k in comp["actions"]:
+        if op == cams.A_RESTORE_SOL:
+            assert sol[slot] is not None, "restore of empty sol slot"
+            cursor = sol[slot]
+        elif op == cams.A_RESTORE_STAGE:
+            assert stage[slot] is not None, "restore of empty stage slot"
+            cursor = stage[slot]
+        elif op == cams.A_ADVANCE:
+            assert cursor == k, f"advance at node {k}, cursor {cursor}"
+            cursor = k + 1
+        elif op == cams.A_STORE:
+            sol[slot] = cursor
+        elif op == cams.A_REVERSE:
+            assert cursor == k == next_rev, (cursor, k, next_rev)
+            next_rev -= 1
+        elif op == cams.A_CAPTURE:
+            assert cursor == k
+            stage[slot] = k
+            cursor = k + 1
+        elif op == cams.A_REVERSE_STAGE:
+            assert stage[slot] == k == next_rev, (stage[slot], k, next_rev)
+            next_rev -= 1
+        else:
+            raise AssertionError(f"unknown opcode {op}")
+    assert next_rev == -1, f"reversal stopped at step {next_rev}"
+
+
+def _type_peaks(fwd, rev, n):
+    """Peak simultaneously-live checkpoint counts per type over the whole
+    plan (sols include the always-live y0 node until dropped)."""
+    sols, stages = {0}, set()
+    ps, pg = 1, 0
+    for op, k in list(fwd) + list(rev):
+        if op == cams.STORE:
+            sols.add(k)
+        elif op == cams.CAPTURE:
+            stages.add(k)
+        elif op == cams.REVERSE_STAGE:
+            stages.discard(k)
+        elif op == cams.DROP:
+            sols.discard(k)
+        ps, pg = max(ps, len(sols)), max(pg, len(stages))
+    return ps, pg
+
+
+@pytest.mark.parametrize("n,m,w", [
+    (1, 1, 2), (5, 2, 2), (7, 3, 2), (9, 4, 3), (16, 5, 2), (25, 6, 4),
+    (40, 8, 2), (64, 7, 3),
+])
+def test_compile_plan_replays_consistently(n, m, w):
+    fwd, rev = cams.cams_plan(n, m, w)
+    comp = cams.compile_plan(fwd, rev, n)
+    _simulate_compiled(comp, n)
+    # allocator tightness: each buffer is exactly the peak number of
+    # simultaneously-live checkpoints of its type (slot reuse works)
+    ps, pg = _type_peaks(fwd, rev, n)
+    assert comp["n_sol"] == ps
+    assert comp["n_stage"] == pg
+
+
+def test_cams_scan_executor_matches_unrolled_rk4():
+    def f(t, y, p):
+        return p["a"] * y + p["b"] * jnp.tanh(y)
+
+    P = {"a": jnp.array(-0.4), "b": jnp.array(0.3)}
+    y0 = jnp.array([1.0, -0.7, 0.2])
+    t = jnp.asarray([0.0, 0.5, 1.0])
+    kw = dict(step_size=0.05, method="rk4")
+    base = ["-ts_trajectory_max_cps_ram", "5",
+            "-ts_trajectory_schedule", "cams"]
+
+    g_unr = _grad_with(base + ["-pnode_cams_executor", "unrolled"],
+                       y0, t, P, f, **kw)
+    g_scn = _grad_with(base + ["-pnode_cams_executor", "scan"],
+                       y0, t, P, f, **kw)
+    np.testing.assert_allclose(g_scn["a"], g_unr["a"], rtol=1e-12)
+    np.testing.assert_allclose(g_scn["b"], g_unr["b"], rtol=1e-12)
+
+
+def test_cams_scan_executor_matches_unrolled_imex():
+    """Stage checkpoints (CAPTURE/REVERSE_STAGE) are exercised hardest by
+    IMEX: the scanned machine must route aux stage sets through its second
+    buffer identically to the dict-based walker."""
+    def f_im(t, y, p):
+        return p["k"] * y
+
+    def f_ex(t, y, p):
+        return p["c"] * jnp.sin(y)
+
+    P = ({"k": jnp.array(-2.0)}, {"c": jnp.array(0.5)})
+    y0 = jnp.array([1.0, -0.5])
+    t = jnp.asarray([0.0, 0.3, 0.6])
+
+    def grad_with(executor):
+        pnode_tpu.clear_options()
+        pnode_tpu.init([
+            "p", "-ts_trajectory_max_cps_ram", "8",
+            "-ts_trajectory_schedule", "cams",
+            "-pnode_cams_executor", executor,
+        ])
+        ode = ODESolver()
+        ode.setupTS(
+            y0, Func(f_im, P[0]), step_size=0.05, method="imex",
+            imex_form=True, implicit_form=True, func2=Func(f_ex, P[1]),
+        )
+
+        def loss(p):
+            sol = ode.odeint_adjoint(y0, t, params=p)
+            return jnp.sum(sol[-1] ** 2) + jnp.sum(sol[1] ** 2)
+
+        return jax.grad(loss)(P)
+
+    g_unr = grad_with("unrolled")
+    g_scn = grad_with("scan")
+    np.testing.assert_allclose(g_scn[0]["k"], g_unr[0]["k"], rtol=1e-10)
+    np.testing.assert_allclose(g_scn[1]["c"], g_unr[1]["c"], rtol=1e-10)
+
+
+def test_cams_scan_forward_outputs_match():
+    def f(t, y, p):
+        return p["a"] * y
+
+    P = {"a": jnp.array(-0.7)}
+    y0 = jnp.array([2.0, 1.0, -1.0])
+    t = jnp.asarray([0.0, 0.3, 0.8, 1.2])
+
+    def sol_with(executor):
+        pnode_tpu.clear_options()
+        pnode_tpu.init(["p", "-ts_trajectory_max_cps_ram", "4",
+                        "-ts_trajectory_schedule", "cams",
+                        "-pnode_cams_executor", executor])
+        ode = ODESolver()
+        ode.setupTS(y0, Func(f, P), step_size=0.05, method="bosh3")
+        return ode.odeint_adjoint(y0, t, params=P)
+
+    np.testing.assert_allclose(
+        np.asarray(sol_with("scan")), np.asarray(sol_with("unrolled")),
+        rtol=1e-12,
+    )
+
+
+@pytest.mark.slow
+def test_cams_scan_compile_time_flat_large_n():
+    """n=5000 (two-level plan beyond the exact-DP cap): the scanned machine
+    must trace+lower in bounded time and match store_all gradients."""
+    import time as _time
+
+    def f(t, y, p):
+        return p["a"] * y
+
+    P = {"a": jnp.array(-0.2)}
+    y0 = jnp.array([1.0, 0.5])
+    n = 5000
+    t = jnp.asarray([0.0, n * 1e-3])
+
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["p", "-ts_trajectory_max_cps_ram", "24",
+                    "-ts_trajectory_schedule", "cams",
+                    "-pnode_cams_executor", "scan"])
+    ode = ODESolver()
+    ode.setupTS(y0, Func(f, P), step_size=1e-3, method="rk4")
+
+    def loss(p):
+        sol = ode.odeint_adjoint(y0, t, params=p)
+        return jnp.sum(sol[-1] ** 2)
+
+    t0 = _time.time()
+    g = jax.jit(jax.grad(loss)).lower(P).compile()
+    elapsed = _time.time() - t0
+    assert elapsed < 120, f"compile took {elapsed:.0f}s"
+
+    pnode_tpu.clear_options()
+    ode2 = ODESolver()
+    ode2.setupTS(y0, Func(f, P), step_size=1e-3, method="rk4")
+
+    def loss2(p):
+        sol = ode2.odeint_adjoint(y0, t, params=p)
+        return jnp.sum(sol[-1] ** 2)
+
+    g_ref = jax.grad(loss2)(P)
+    np.testing.assert_allclose(g(P)["a"], g_ref["a"], rtol=1e-9)
