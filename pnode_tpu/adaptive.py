@@ -75,7 +75,18 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
     max_steps = int(cfg.max_steps)
     expo = 1.0 / (cfg.order + 1)
 
+    def _prepared(y0, params):
+        # freeze-once-per-odeint Jacobian semantics (same as the fixed-grid
+        # driver's _prepare); dt0=None because dt varies under the
+        # controller — stage inverses are computed per trial step instead
+        # of pre-inverted (steppers._fused_reverse_args(dt=...))
+        prep = getattr(stepper, "prepare", None)
+        if prep is None:
+            return stepper
+        return prep(jnp.asarray(t_out[0], y0.dtype), y0, params, dt0=None)
+
     def forward(y0, params):
+        stp = _prepared(y0, params)
         dtype = y0.dtype
         touts = jnp.asarray(t_out, dtype)
         t_end = touts[-1]
@@ -90,7 +101,7 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
             dt_try = jnp.minimum(dt, target - t)
             dt_try = jnp.maximum(dt_try, jnp.asarray(0.0, dtype))
 
-            y1, err, _, st = stepper.step_embedded(t, dt_try, y, params)
+            y1, err, _, st = stp.step_embedded(t, dt_try, y, params)
             enorm = _wrms(err, y, y1, cfg.rtol, cfg.atol)
             accept = jnp.logical_or(enorm <= 1.0, dt_try <= 1e-14 * t_end)
             accept = jnp.logical_and(accept, jnp.logical_not(done))
@@ -169,6 +180,7 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
     def solve_bwd(res, cts):
         g_outputs, _ = cts
         y0, params, recs = res
+        stp = _prepared(y0, params)
         gp0 = tree_zeros_like(params)
         lam0 = jnp.zeros_like(y0)
 
@@ -185,7 +197,7 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
 
             def do_adj(args):
                 lam_i, gp_i = args
-                lam_n, gstep = stepper.step_adj(
+                lam_n, gstep = stp.step_adj(
                     t_k, dt_k, y_k, params, None, lam_i
                 )
                 return lam_n, tree_add(gp_i, gstep)

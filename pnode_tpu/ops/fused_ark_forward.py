@@ -47,12 +47,18 @@ from .fused_mlp import _ACTS, _pad2, _round_up
 from .fused_ark_adjoint import fused_ark_fits
 
 
-def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign,
+def _kernel(s, n_layers, act_name, aI, aE, bI, bE, dI, dE, sign,
             dt_ref, y_ref, jf_ref, invf_ref, *refs):
-    """refs = [W1, b1, ..., Wn, bn, y1_ref, ys_ref]."""
+    """refs = [W1, b1, ..., Wn, bn, y1_ref, ys_ref[, err_ref]].
+
+    ``dI``/``dE`` are the embedded-error weight differences
+    (b - b_err); when not None the kernel also emits the embedded error
+    estimate err = dt * sum_i (dI_i kI_i + dE_i kE_i) for the adaptive
+    controller (-ts_adapt_type basic through the fused path)."""
     act = _ACTS[act_name]
     y1_ref = refs[2 * n_layers]
     ys_ref = refs[2 * n_layers + 1]
+    err_ref = refs[2 * n_layers + 2] if dI is not None else None
     dt = dt_ref[0, 0]
     y = y_ref[:]
     jf = jf_ref[:]      # J^T: f_im(x) = x @ jf
@@ -71,6 +77,7 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign,
     kI = [None] * s
     kE = [None] * s
     y1 = y
+    err = jnp.zeros_like(y) if err_ref is not None else None
     for i in range(s):
         G = y
         for j in range(i):
@@ -92,7 +99,14 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign,
             y1 = y1 + (dt * bI[i]) * kI[i]
         if bE[i] != 0.0:
             y1 = y1 + (dt * bE[i]) * kE[i]
+        if err is not None:
+            if dI[i] != 0.0:
+                err = err + (dt * dI[i]) * kI[i]
+            if dE[i] != 0.0:
+                err = err + (dt * dE[i]) * kE[i]
     y1_ref[:] = y1.astype(y1_ref.dtype)
+    if err_ref is not None:
+        err_ref[:] = err.astype(err_ref.dtype)
 
 
 def fused_ark_step_fwd(
@@ -106,8 +120,11 @@ def fused_ark_step_fwd(
     activation: str = "relu",
     sign: float = -1.0,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One fused forward ARK step. Returns (y1, Ys stacked (s, B, d))."""
+    b_err=None,
+) -> Tuple[jnp.ndarray, ...]:
+    """One fused forward ARK step. Returns (y1, Ys stacked (s, B, d)), or
+    (y1, err, Ys) when ``b_err = (b_im_err, b_ex_err)`` is given (the
+    embedded pair driving -ts_adapt_type basic)."""
     aI, aE, bI, bE = tableau_static
     s = len(bI)
     B, d = y.shape
@@ -147,29 +164,44 @@ def fused_ark_step_fwd(
         const(jf_p),
         const(invf_p),
     ] + [const(a) for a in flat]
-    out_shapes = (
+    out_shapes = [
         jax.ShapeDtypeStruct((Bp, P), y.dtype),
         jax.ShapeDtypeStruct((s, Bp, P), y.dtype),
-    )
-    out_specs = (
-        pl.BlockSpec((Bt, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    row_spec = pl.BlockSpec((Bt, P), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [
+        row_spec,
         pl.BlockSpec((s, Bt, P), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
-    )
+    ]
+    if b_err is not None:
+        bIe, bEe = b_err
+        dI = tuple(float(bI[i]) - float(bIe[i]) for i in range(s))
+        dE = tuple(float(bE[i]) - float(bEe[i]) for i in range(s))
+        out_shapes.append(jax.ShapeDtypeStruct((Bp, P), y.dtype))
+        out_specs.append(row_spec)
+    else:
+        dI = dE = None
     kern = functools.partial(
         _kernel, s, n_layers, activation,
         tuple(tuple(float(x) for x in row) for row in aI),
         tuple(tuple(float(x) for x in row) for row in aE),
         tuple(float(x) for x in bI),
         tuple(float(x) for x in bE),
+        dI, dE,
         float(sign),
     )
-    y1_p, ys_p = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        out_shape=out_shapes,
+        out_shape=tuple(out_shapes),
         in_specs=in_specs,
-        out_specs=out_specs,
+        out_specs=tuple(out_specs),
         interpret=interpret,
     )(dt_arr, y_p, jf_p, invf_p, *flat)
+    if b_err is not None:
+        y1_p, ys_p, err_p = outs
+        return y1_p[:B, :d], err_p[:B, :d], ys_p[:, :B, :d]
+    y1_p, ys_p = outs
     return y1_p[:B, :d], ys_p[:, :B, :d]

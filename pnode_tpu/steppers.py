@@ -448,7 +448,7 @@ class ARKIMEX:
             and self.setup.newton_cfg.ksponly
             and not self.setup.newton_cfg.ksponly_check
         ):
-            fused = self._fused_reverse_args(params)
+            fused = self._fused_reverse_args(params, dt=dt)
             if fused is not None:
                 from .ops.fused_ark_forward import fused_ark_step_fwd
 
@@ -459,16 +459,17 @@ class ARKIMEX:
                     activation=spec["activation"], sign=spec["sign"],
                     interpret=interpret,
                 )
-                n_impl = sum(
-                    1 for i in range(self.tab.stages)
-                    if self._aI[i][i] != 0.0
-                )
-                stats = StepStats(
-                    newton_iters=jnp.array(n_impl, jnp.int32),
-                    newton_converged=jnp.array(True),
-                )
-                return y1, aux, stats
+                return y1, aux, self._fused_stats()
         return self._step_generic(t, dt, y, params)
+
+    def _fused_stats(self):
+        n_impl = sum(
+            1 for i in range(self.tab.stages) if self._aI[i][i] != 0.0
+        )
+        return StepStats(
+            newton_iters=jnp.array(n_impl, jnp.int32),
+            newton_converged=jnp.array(True),
+        )
 
     def _step_generic(self, t, dt, y, params):
         params_im, params_ex = params
@@ -532,6 +533,27 @@ class ARKIMEX:
                 f"ARK tableau {tab.name!r} has no embedded weights; "
                 "-ts_adapt_type basic requires one of 1bee/3/4"
             )
+        # fused single-kernel trial step with in-kernel embedded error
+        # (the adaptive controller's dt varies, so the stage inverse is
+        # computed per trial step — see _fused_reverse_args(dt=...))
+        if (
+            y.ndim == 2
+            and y.dtype == jnp.float32
+            and self.setup.newton_cfg.ksponly
+            and not self.setup.newton_cfg.ksponly_check
+        ):
+            fused = self._fused_reverse_args(params, dt=dt)
+            if fused is not None:
+                from .ops.fused_ark_forward import fused_ark_step_fwd
+
+                spec, J, inv_op, interpret = fused
+                y1, err, aux = fused_ark_step_fwd(
+                    (self._aI, self._aE, self._bI, self._bE), dt, y, J,
+                    inv_op, spec["Ws"], spec["bs"],
+                    activation=spec["activation"], sign=spec["sign"],
+                    interpret=interpret, b_err=(self._bIe, self._bEe),
+                )
+                return y1, err, aux, self._fused_stats()
         y1, aux, stats = self._step_generic(t, dt, y, params)
         kI, kE = self._last_ks
         err = jnp.zeros_like(y)
@@ -544,13 +566,17 @@ class ARKIMEX:
                 err = err + (dt * dE) * kE[i]
         return y1, err, aux, stats
 
-    def _fused_reverse_args(self, params):
-        """Static gate for the single-kernel fused reverse step.
+    def _fused_reverse_args(self, params, dt=None):
+        """Static gate for the single-kernel fused steps.
 
         Conditions = the reference's production stiff-PDE configuration:
-        frozen shared dense J for a parameter-free implicit part, cached
-        pre-inverted stage operator (uniform dt), single ESDIRK gamma, and
-        a model-provided MLP spec for the explicit part. Controlled by
+        frozen shared dense J for a parameter-free implicit part, single
+        ESDIRK gamma, and a model-provided MLP spec for the explicit part.
+        The pre-inverted stage operator comes from the per-solve cache
+        (uniform dt); when absent and ``dt`` is given (non-uniform grids,
+        the adaptive controller's trial steps) the inverse
+        (I - dt*gamma*J)^{-1} is computed inline — O(d^3) per step, on par
+        with the dense factor the generic path would pay. Controlled by
         -pnode_fused_ark_adjoint {auto,off,interpret} (auto = TPU only).
         """
         if self.fused_ex_spec is None:
@@ -568,17 +594,27 @@ class ARKIMEX:
             return None
         if setup.frozen_J_blocks.shape[0] != 1:
             return None
-        cache = setup.solver_cache
-        if cache is None:
-            return None
         gammas = {g for g in (float(x) for x in np.diag(self.tab.a_im))
                   if g != 0.0}
         if len(gammas) != 1:
             return None
-        solver = cache.get(next(iter(gammas)))
-        if (solver is None or getattr(solver, "_inv", None) is None
-                or not solver._shared):
-            return None
+        gamma = next(iter(gammas))
+        inv_op = None
+        cache = setup.solver_cache
+        if cache is not None:
+            solver = cache.get(gamma)
+            if (solver is not None
+                    and getattr(solver, "_inv", None) is not None
+                    and solver._shared):
+                inv_op = solver._inv[0]
+        if inv_op is None:
+            if dt is None:
+                return None
+            J0 = setup.frozen_J_blocks[0]
+            d0 = J0.shape[-1]
+            inv_op = jnp.linalg.inv(
+                jnp.eye(d0, dtype=J0.dtype) - (dt * gamma) * J0
+            )
         params_im, params_ex = params
         if len(jax.tree_util.tree_leaves(params_im)) != 0:
             return None
@@ -590,7 +626,7 @@ class ARKIMEX:
         d = setup.frozen_J_blocks.shape[-1]
         if not fused_ark_fits(d, [int(w.shape[1]) for w in spec["Ws"]]):
             return None
-        return spec, setup.frozen_J_blocks[0], solver._inv[0], interpret
+        return spec, setup.frozen_J_blocks[0], inv_op, interpret
 
     def step_adj(self, t, dt, y, params, aux, lam):
         params_im, params_ex = params
@@ -602,7 +638,7 @@ class ARKIMEX:
         Ys = [aux[i] for i in range(s)]
 
         fused = (
-            self._fused_reverse_args(params)
+            self._fused_reverse_args(params, dt=dt)
             if (y.ndim == 2 and y.dtype == jnp.float32)
             else None
         )

@@ -199,3 +199,58 @@ def test_pi_controller_and_adapt_clip():
                        "-ts_adapt_clip", "0.5,1.05"])
     assert int(st_c.accepted) > int(st_b.accepted)
     np.testing.assert_allclose(np.asarray(sol_c[-1]), exact, rtol=1e-5)
+
+
+def test_adaptive_fused_path_matches_generic():
+    """Adaptive trial steps through the fused forward kernel (embedded error
+    computed in-kernel, stage inverse per trial step) must reproduce the
+    generic path's solutions AND gradients — interpret mode on CPU."""
+    from pnode_tpu import FlaxFunc
+    from pnode_tpu.models import KSFuncEX, KSFuncIM
+
+    batch, nx = 4, 16
+    key = jax.random.PRNGKey(3)
+    y0 = jax.random.normal(key, (batch, nx), jnp.float32) * 0.1
+    t_out = jnp.array([0.0, 0.4])
+
+    def run(mode):
+        pnode_tpu.clear_options()
+        pnode_tpu.init([
+            "p", "-snes_type", "ksponly", "-ts_arkimex_type", "3",
+            "-ts_adapt_type", "basic", "-ts_rtol", "1e-4",
+            "-ts_atol", "1e-6",
+            "-pnode_fused_ark_adjoint", mode,
+        ])
+        im = KSFuncIM(nx=nx)
+        ex = KSFuncEX(nx=nx, hidden=24, use_pallas=True)
+        k = jax.random.PRNGKey(0)
+        y_tmpl = jnp.zeros((batch, nx), jnp.float32)
+        vim = im.init(k, 0.0, y_tmpl)
+        vex = ex.init(k, 0.0, y_tmpl)
+        ode = ODESolver()
+        ode.setupTS(
+            y_tmpl, FlaxFunc(im, vim), step_size=0.05, method="imex",
+            imex_form=True, implicit_form=True, func2=FlaxFunc(ex, vex),
+            linear_solver="hpddm", fixed_jacobian=True, batch_size=batch,
+        )
+        params = (vim, vex)
+
+        def loss(p):
+            pred, _ = ode.solve(y0, t_out, params=p)
+            return jnp.sum(pred[-1] ** 2)
+
+        if mode == "interpret":
+            # the fused trial step must actually trigger
+            stp = ode._stepper.prepare(0.0, y0, params, dt0=None)
+            assert stp._fused_reverse_args(
+                params, dt=jnp.float32(0.05)
+            ) is not None
+        return jax.value_and_grad(loss)(params)
+
+    l_g, g_g = run("off")
+    l_f, g_f = run("interpret")
+    np.testing.assert_allclose(float(l_f), float(l_g), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
