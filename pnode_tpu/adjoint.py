@@ -120,9 +120,16 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
     )
 
     def _prepare(y0, params, ts, dts):
-        return stepper.prepare(
-            ts[0], y0, params, dt0=dts[0] if uniform_dt else None
-        )
+        # t0/dt0 come from the STATIC grid (the schedule is static by
+        # construction; the runtime ts/dts arrays carry the same values and
+        # exist for cotangent plumbing). Concrete scalars let prepare()'s
+        # Jacobian freeze + operator pre-inversion execute EAGERLY at trace
+        # time whenever the remaining inputs are concrete too (certified-
+        # linear parameter-free f_im), turning per-step O(d^3) work into a
+        # compiled-in constant.
+        t0 = float(grid.ts[0]) if n_steps > 0 else 0.0
+        dt0 = float(grid.dts[0]) if (uniform_dt and n_steps > 0) else None
+        return stepper.prepare(t0, y0, params, dt0=dt0)
 
     # static segment geometry for the uniform-checkpoint policy
     if traj.kind == "checkpoint" and n_steps > 0:

@@ -101,15 +101,15 @@ class ODESolver:
         # the implicit part must additionally CERTIFY linearity in y (the
         # fused kernels apply the frozen Jacobian, exact only then)
         self._fused_ex_spec = None
+        mod_im = getattr(func, "module", None)
+        self._im_linear = bool(getattr(mod_im, "linear_in_y", False))
         if imex_form:
             f_ex, p_ex = as_dynamics(func2, params2)
             self.f = (f_im, f_ex)
             self.params = (p_im, p_ex)
             mod = getattr(func2, "module", None)
-            mod_im = getattr(func, "module", None)
-            im_linear = bool(getattr(mod_im, "linear_in_y", False))
             if (mod is not None and hasattr(mod, "fused_mlp_spec")
-                    and im_linear):
+                    and self._im_linear):
                 self._fused_ex_spec = mod.fused_mlp_spec
         else:
             self.f = f_im
@@ -248,14 +248,16 @@ class ODESolver:
         if self.imex or meth == "imex":
             tab = get_ark_tableau(self.opts.get_string("ts_arkimex_type"))
             setup = ImplicitSolveSetup(self.lin_cfg, self.newton_cfg,
-                                       adjoint_exact_jacobian=exact_adj)
+                                       adjoint_exact_jacobian=exact_adj,
+                                       im_linear_in_y=self._im_linear)
             f_im, f_ex = self.f
             return ARKIMEX(tab, f_im, f_ex, setup, mass=self.mass,
                            fused_ex_spec=self._fused_ex_spec)
         if meth in THETA_METHODS or meth in _THETA_TS_TYPES:
             theta = THETA_METHODS.get(meth, _THETA_TS_TYPES.get(meth))
             setup = ImplicitSolveSetup(self.lin_cfg, self.newton_cfg,
-                                       adjoint_exact_jacobian=exact_adj)
+                                       adjoint_exact_jacobian=exact_adj,
+                                       im_linear_in_y=self._im_linear)
             return Theta(theta, self.f, setup, mass=self.mass)
         tab = get_rk_tableau(meth)
         if self.mass is not None:

@@ -193,6 +193,29 @@ class ImplicitSolveSetup:
     # Jacobian is frozen and dt is uniform, so the scan body's stage solves
     # reduce to cached-inverse matmuls (pure MXU work, no LU in the loop)
     solver_cache: Optional[dict] = None
+    # the model certified d f_im/dy independent of y (linear_in_y): frozen
+    # Jacobians are assembled at a CONSTANT reference state, so for a
+    # parameter-free implicit part the whole assemble+invert chain executes
+    # eagerly at trace time and lands in the compiled program as a constant
+    # instead of running inside every training step
+    im_linear_in_y: bool = False
+
+
+def _const_freeze_ok(setup, params, t0, dt0):
+    """True when the frozen Jacobian (and pre-inverted stage operators) can
+    be computed at TRACE time under ``jax.ensure_compile_time_eval`` and
+    land in the compiled program as constants: the model certified
+    d f_im/dy independent of y, the implicit part has no learned
+    parameters, and t0/dt0 are concrete. Without this the assembly's
+    jacfwd (d tangents over the full batch state) plus the O(d^3)
+    inversion execute inside EVERY training step — for Burgers-512 that
+    was ~1.6 GB of per-step HBM traffic, 95% of the step time."""
+    return (
+        setup.im_linear_in_y
+        and not jax.tree_util.tree_leaves(params)
+        and not isinstance(t0, jax.core.Tracer)
+        and not isinstance(dt0, jax.core.Tracer)
+    )
 
 
 class Theta:
@@ -234,18 +257,45 @@ class Theta:
         def f_flat(zf):
             return self.f(t0, zf.reshape(y0.shape), params).reshape(-1)
 
-        J = assemble_block_jacobian(
-            f_flat,
-            y0.reshape(-1),
-            self.setup.lin_cfg,
-            shared=self.setup.lin_cfg.kind == "block",
-        )
+        # linear-certified f with no learned implicit parameters: linearize
+        # at a CONSTANT state under compile-time eval so the assembly (and
+        # any downstream inversion) is a compiled-in constant, not
+        # per-training-step work (see _const_freeze_ok)
+        import contextlib
+
+        const = _const_freeze_ok(self.setup, params, t0, dt0)
+        ctx = (jax.ensure_compile_time_eval() if const
+               else contextlib.nullcontext())
+        with ctx:
+            y_lin = (jnp.zeros(y0.shape, y0.dtype) if const else y0)
+            J = assemble_block_jacobian(
+                f_flat,
+                y_lin.reshape(-1),
+                self.setup.lin_cfg,
+                shared=self.setup.lin_cfg.kind == "block",
+            )
+            # uniform dt: pre-invert the stage operator once per solve,
+            # keyed by theta (same strategy as ARKIMEX.prepare's gamma
+            # cache) — the scan body's solves become cached-inverse matmuls
+            # instead of per-step LU
+            cache = None
+            if dt0 is not None and self.mass is None and self.theta > 0.0:
+                from .linsolve import DenseStageSolver
+
+                cache = {
+                    self.theta: DenseStageSolver(
+                        J, None, 1.0, dt0 * self.theta, int(y0.size),
+                        use_inverse=True,
+                    )
+                }
         new = copy.copy(self)
         new.setup = ImplicitSolveSetup(
             lin_cfg=self.setup.lin_cfg,
             newton_cfg=self.setup.newton_cfg,
             frozen_J_blocks=J,
             adjoint_exact_jacobian=self.setup.adjoint_exact_jacobian,
+            solver_cache=cache,
+            im_linear_in_y=self.setup.im_linear_in_y,
         )
         return new
 
@@ -399,21 +449,32 @@ class ARKIMEX:
         def f_flat(zf):
             return self.f_im(t0, zf.reshape(y0.shape), params_im).reshape(-1)
 
-        J = assemble_block_jacobian(
-            f_flat,
-            y0.reshape(-1),
-            self.setup.lin_cfg,
-            shared=self.setup.lin_cfg.kind == "block",
-        )
-        cache = None
-        if dt0 is not None:
-            gammas = sorted({g for g in (float(x) for x in np.diag(self.tab.a_im))
-                             if g != 0.0})
-            cache = {
-                g: DenseStageSolver(J, None, 1.0, dt0 * g, int(y0.size),
-                                    use_inverse=True)
-                for g in gammas
-            }
+        # see Theta.prepare / _const_freeze_ok: certified-linear parameter-
+        # free implicit parts freeze (and pre-invert) at compile time
+        import contextlib
+
+        const = _const_freeze_ok(self.setup, params_im, t0, dt0)
+        ctx = (jax.ensure_compile_time_eval() if const
+               else contextlib.nullcontext())
+        with ctx:
+            y_lin = (jnp.zeros(y0.shape, y0.dtype) if const else y0)
+            J = assemble_block_jacobian(
+                f_flat,
+                y_lin.reshape(-1),
+                self.setup.lin_cfg,
+                shared=self.setup.lin_cfg.kind == "block",
+            )
+            cache = None
+            if dt0 is not None:
+                gammas = sorted(
+                    {g for g in (float(x) for x in np.diag(self.tab.a_im))
+                     if g != 0.0}
+                )
+                cache = {
+                    g: DenseStageSolver(J, None, 1.0, dt0 * g, int(y0.size),
+                                        use_inverse=True)
+                    for g in gammas
+                }
         new = copy.copy(self)
         new.setup = ImplicitSolveSetup(
             lin_cfg=self.setup.lin_cfg,
@@ -421,6 +482,7 @@ class ARKIMEX:
             frozen_J_blocks=J,
             adjoint_exact_jacobian=self.setup.adjoint_exact_jacobian,
             solver_cache=cache,
+            im_linear_in_y=self.setup.im_linear_in_y,
         )
         return new
 
