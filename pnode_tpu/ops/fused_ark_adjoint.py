@@ -55,14 +55,19 @@ from .fused_mlp import _ACTS, _pad2, _round_up
 VMEM_RESIDENT_BUDGET = 12 * 2**20
 
 
-def fused_ark_fits(d: int, layer_dims: Sequence[int]) -> bool:
-    """True when weights + weight-grad accumulators + the dense operators
-    fit the scoped-VMEM budget (e.g. KS nx=64 yes; Burgers nx=512 no — its
-    padded weight stack alone is ~7.5 MB and lives twice)."""
+def fused_ark_fits(d: int, layer_dims: Sequence[int],
+                   with_grad_accumulators: bool = True) -> bool:
+    """True when the resident set fits the scoped-VMEM budget.
+
+    The REVERSE kernel holds the weight stack twice (weights + dW
+    accumulators): e.g. KS nx=64 yes; Burgers nx=512 no — its padded stack
+    alone is ~7.5 MB. The FORWARD kernel (``with_grad_accumulators=False``)
+    holds it once, so Burgers-512 still fuses its forward step."""
     pdims = [_round_up(x, 128) for x in [d] + list(layer_dims)]
     P = pdims[0]
     weights = 4 * sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
-    return 2 * weights + 2 * 4 * P * P <= VMEM_RESIDENT_BUDGET
+    mult = 2 if with_grad_accumulators else 1
+    return mult * weights + 2 * 4 * P * P <= VMEM_RESIDENT_BUDGET
 
 
 def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign,

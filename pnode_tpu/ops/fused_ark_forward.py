@@ -134,7 +134,7 @@ def fused_ark_step_fwd(
     P = pdims[0]
     maxP = max(pdims)
 
-    if not fused_ark_fits(d, dims[1:]):
+    if not fused_ark_fits(d, dims[1:], with_grad_accumulators=False):
         raise ValueError("fused ARK forward step does not fit VMEM")
 
     budget = 14 * 2**20

@@ -628,7 +628,7 @@ class ARKIMEX:
                 err = err + (dt * dE) * kE[i]
         return y1, err, aux, stats
 
-    def _fused_reverse_args(self, params, dt=None):
+    def _fused_reverse_args(self, params, dt=None, for_reverse=True):
         """Static gate for the single-kernel fused steps.
 
         Conditions = the reference's production stiff-PDE configuration:
@@ -686,7 +686,8 @@ class ARKIMEX:
         from .ops.fused_ark_adjoint import fused_ark_fits
 
         d = setup.frozen_J_blocks.shape[-1]
-        if not fused_ark_fits(d, [int(w.shape[1]) for w in spec["Ws"]]):
+        if not fused_ark_fits(d, [int(w.shape[1]) for w in spec["Ws"]],
+                              with_grad_accumulators=for_reverse):
             return None
         return spec, setup.frozen_J_blocks[0], inv_op, interpret
 
