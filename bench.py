@@ -226,7 +226,7 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--no_pallas", action="store_true")
-    ap.add_argument("--inner_steps", type=int, default=30,
+    ap.add_argument("--inner_steps", type=int, default=400,
                     help="training steps per dispatch (lax.scan); 1 = "
                          "per-step host dispatch mode")
     ap.add_argument("--cifar_nt", type=int, default=2)
