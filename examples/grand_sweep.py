@@ -81,6 +81,8 @@ def run_trial(cfg, epochs, tag):
 
 
 def main():
+    if args.trials < 1:
+        raise SystemExit("--trials must be >= 1")
     rng = np.random.default_rng(args.seed)
     if args.scheduler == "random":
         for trial in range(args.trials):
@@ -103,6 +105,11 @@ def main():
         for i, cfg in enumerate(population):
             val, _ = run_trial(cfg, budget, f"rung {k} trial {i}")
             scored.append((val, i, cfg))
+        if all(v < 0 for v, _, _ in scored):
+            raise SystemExit(
+                f"rung {k}: every trial failed to report a validation "
+                "accuracy — aborting instead of promoting failed configs"
+            )
         if k == len(rungs) - 1:
             break
         scored.sort(reverse=True)

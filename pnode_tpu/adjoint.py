@@ -348,15 +348,25 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
         )
         return aux_shape
 
+    _cams_w_memo: dict = {}
+
     def _cams_weight(y0, params, ts, dts):
-        """Stage-checkpoint weight: 1 + ceil(aux units / state units)."""
-        stp = _prepare(y0, params, ts, dts)
-        aux_shape = _aux_struct(stp, y0, params, ts, dts)
-        aux_sz = sum(
-            int(np.prod(a.shape))
-            for a in jax.tree_util.tree_leaves(aux_shape)
-        )
-        return 1 + max(1, math.ceil(aux_sz / max(1, y0.size)))
+        """Stage-checkpoint weight: 1 + ceil(aux units / state units).
+        Memoized per closure (depends on static shapes only): _cams_plan is
+        consulted by solve_fwd, the executor choice, and both scan
+        executors within one gradient trace, and each consultation would
+        otherwise re-run prepare()'s Jacobian assembly."""
+        if "w" not in _cams_w_memo:
+            stp = _prepare(y0, params, ts, dts)
+            aux_shape = _aux_struct(stp, y0, params, ts, dts)
+            aux_sz = sum(
+                int(np.prod(a.shape))
+                for a in jax.tree_util.tree_leaves(aux_shape)
+            )
+            _cams_w_memo["w"] = 1 + max(
+                1, math.ceil(aux_sz / max(1, y0.size))
+            )
+        return _cams_w_memo["w"]
 
     def _cams_plan(y0, params, ts, dts):
         from . import cams as cm
@@ -522,11 +532,10 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
         comp = cm.compile_plan(plan_fwd, plan_rev, n_steps)
         stp = _prepare(y0, params, ts, dts)
         aux_shape = _aux_struct(stp, y0, params, ts, dts)
-        bdt = _store_dt if _store_dt is not None else None
 
         def buf(n_slots, shape, dtype):
             return jnp.zeros((n_slots + 1,) + tuple(shape),
-                             bdt if bdt is not None else dtype)
+                             _store_dt or dtype)
 
         solbuf = buf(comp["n_sol"], y0.shape, y0.dtype)
         sy = buf(comp["n_stage"], y0.shape, y0.dtype)

@@ -61,8 +61,11 @@ def fused_ark_fits(d: int, layer_dims: Sequence[int],
 
     The REVERSE kernel holds the weight stack twice (weights + dW
     accumulators): e.g. KS nx=64 yes; Burgers nx=512 no — its padded stack
-    alone is ~7.5 MB. The FORWARD kernel (``with_grad_accumulators=False``)
-    holds it once, so Burgers-512 still fuses its forward step."""
+    alone is ~7.5 MB. ``with_grad_accumulators=False`` is the forward-only
+    budget (weight stack once); note the STEPPERS deliberately keep the
+    forward kernel gated on the full reverse-capable budget — fusing only
+    the forward measured a 10% regression at Burgers-512 sizes (RESULTS.md)
+    — so the relaxed budget serves direct kernel callers only."""
     pdims = [_round_up(x, 128) for x in [d] + list(layer_dims)]
     P = pdims[0]
     weights = 4 * sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))

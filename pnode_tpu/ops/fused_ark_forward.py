@@ -141,6 +141,9 @@ def fused_ark_step_fwd(
     fixed = 4 * (sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
                  + 2 * P * P)
     per_row = 4 * (3 * s * P + 2 * maxP + 6 * P)
+    if b_err is not None:
+        # embedded path: err accumulator + the extra (Bt, P) output block
+        per_row += 4 * 2 * P
     Bt = max(8, min(_round_up(B, 8), ((budget - fixed) // per_row) // 8 * 8))
     Bp = _round_up(B, Bt)
     n_tiles = Bp // Bt

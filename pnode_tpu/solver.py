@@ -268,7 +268,21 @@ class ODESolver:
         return ExplicitRK(tab, self.f)
 
     def _get_solve_fn(self, grid, with_adjoint: bool):
-        key = (grid.n_steps, tuple(int(i) for i in grid.out_idx), with_adjoint)
+        # t0/dt0 are part of the key: make_odeint bakes the STATIC grid
+        # scalars into prepare() (frozen-Jacobian linearization time and the
+        # pre-inverted operator's step size), so two grids with identical
+        # geometry but shifted/rescaled times must not share a compiled fn
+        n0 = int(grid.n_steps)
+        uniform = n0 > 0 and bool(
+            np.allclose(grid.dts, grid.dts[0], rtol=1e-12, atol=0.0)
+        )
+        key = (
+            n0,
+            tuple(int(i) for i in grid.out_idx),
+            with_adjoint,
+            float(grid.ts[0]) if n0 > 0 else 0.0,
+            float(grid.dts[0]) if uniform else None,
+        )
         fn = self._cache.get(key)
         if fn is None:
             solve = make_odeint(

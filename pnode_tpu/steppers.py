@@ -218,6 +218,41 @@ def _const_freeze_ok(setup, params, t0, dt0):
     )
 
 
+def _frozen_setup(owner, setup, params, t0, dt0, y0, f_flat, build_cache):
+    """Shared freeze path for Theta/ARKIMEX.prepare: assemble the frozen
+    Jacobian (at a constant state under compile-time eval when
+    _const_freeze_ok) and build the pre-inverted stage-solver cache.
+    Constant results are memoized per stepper instance so repeated
+    prepare() calls within one gradient trace (fwd, bwd, plan sizing)
+    pay the eager jacfwd + O(d^3) inversion once."""
+    import contextlib
+
+    from .linsolve import assemble_block_jacobian
+
+    const = _const_freeze_ok(setup, params, t0, dt0)
+    key = None
+    if const:
+        key = (float(t0), None if dt0 is None else float(dt0),
+               tuple(y0.shape), str(y0.dtype))
+        memo = getattr(owner, "_const_freeze_memo", None)
+        if memo is not None and memo[0] == key:
+            return memo[1]
+    ctx = (jax.ensure_compile_time_eval() if const
+           else contextlib.nullcontext())
+    with ctx:
+        y_lin = jnp.zeros(y0.shape, y0.dtype) if const else y0
+        J = assemble_block_jacobian(
+            f_flat,
+            y_lin.reshape(-1),
+            setup.lin_cfg,
+            shared=setup.lin_cfg.kind == "block",
+        )
+        cache = build_cache(J)
+    if const:
+        owner._const_freeze_memo = (key, (J, cache))
+    return J, cache
+
+
 class Theta:
     """Theta method: backward Euler (theta=1, TSBE) / Crank-Nicolson
     (theta=0.5 endpoint, TSCN), with optional mass matrix for DAEs
@@ -248,7 +283,6 @@ class Theta:
         reference's frozen-Jacobian modified Newton can stall on stiff
         problems (a deliberate accuracy upgrade).
         """
-        from .linsolve import assemble_block_jacobian
         import copy
 
         if self.setup.lin_cfg.kind == "gmres" or not self.setup.lin_cfg.fixed_jacobian:
@@ -257,37 +291,25 @@ class Theta:
         def f_flat(zf):
             return self.f(t0, zf.reshape(y0.shape), params).reshape(-1)
 
-        # linear-certified f with no learned implicit parameters: linearize
-        # at a CONSTANT state under compile-time eval so the assembly (and
-        # any downstream inversion) is a compiled-in constant, not
-        # per-training-step work (see _const_freeze_ok)
-        import contextlib
-
-        const = _const_freeze_ok(self.setup, params, t0, dt0)
-        ctx = (jax.ensure_compile_time_eval() if const
-               else contextlib.nullcontext())
-        with ctx:
-            y_lin = (jnp.zeros(y0.shape, y0.dtype) if const else y0)
-            J = assemble_block_jacobian(
-                f_flat,
-                y_lin.reshape(-1),
-                self.setup.lin_cfg,
-                shared=self.setup.lin_cfg.kind == "block",
-            )
+        def build_cache(J):
             # uniform dt: pre-invert the stage operator once per solve,
             # keyed by theta (same strategy as ARKIMEX.prepare's gamma
             # cache) — the scan body's solves become cached-inverse matmuls
             # instead of per-step LU
-            cache = None
-            if dt0 is not None and self.mass is None and self.theta > 0.0:
-                from .linsolve import DenseStageSolver
+            if dt0 is None or self.mass is not None or self.theta <= 0.0:
+                return None
+            from .linsolve import DenseStageSolver
 
-                cache = {
-                    self.theta: DenseStageSolver(
-                        J, None, 1.0, dt0 * self.theta, int(y0.size),
-                        use_inverse=True,
-                    )
-                }
+            return {
+                self.theta: DenseStageSolver(
+                    J, None, 1.0, dt0 * self.theta, int(y0.size),
+                    use_inverse=True,
+                )
+            }
+
+        J, cache = _frozen_setup(
+            self, self.setup, params, t0, dt0, y0, f_flat, build_cache
+        )
         new = copy.copy(self)
         new.setup = ImplicitSolveSetup(
             lin_cfg=self.setup.lin_cfg,
@@ -439,7 +461,6 @@ class ARKIMEX:
 
     def prepare(self, t0, y0, params, dt0=None):
         """Freeze the dense/block Jacobian of f_IM at (t0, y0) (see Theta)."""
-        from .linsolve import DenseStageSolver, assemble_block_jacobian
         import copy
 
         if self.setup.lin_cfg.kind == "gmres" or not self.setup.lin_cfg.fixed_jacobian:
@@ -449,32 +470,24 @@ class ARKIMEX:
         def f_flat(zf):
             return self.f_im(t0, zf.reshape(y0.shape), params_im).reshape(-1)
 
-        # see Theta.prepare / _const_freeze_ok: certified-linear parameter-
-        # free implicit parts freeze (and pre-invert) at compile time
-        import contextlib
+        def build_cache(J):
+            if dt0 is None:
+                return None
+            from .linsolve import DenseStageSolver
 
-        const = _const_freeze_ok(self.setup, params_im, t0, dt0)
-        ctx = (jax.ensure_compile_time_eval() if const
-               else contextlib.nullcontext())
-        with ctx:
-            y_lin = (jnp.zeros(y0.shape, y0.dtype) if const else y0)
-            J = assemble_block_jacobian(
-                f_flat,
-                y_lin.reshape(-1),
-                self.setup.lin_cfg,
-                shared=self.setup.lin_cfg.kind == "block",
+            gammas = sorted(
+                {g for g in (float(x) for x in np.diag(self.tab.a_im))
+                 if g != 0.0}
             )
-            cache = None
-            if dt0 is not None:
-                gammas = sorted(
-                    {g for g in (float(x) for x in np.diag(self.tab.a_im))
-                     if g != 0.0}
-                )
-                cache = {
-                    g: DenseStageSolver(J, None, 1.0, dt0 * g, int(y0.size),
-                                        use_inverse=True)
-                    for g in gammas
-                }
+            return {
+                g: DenseStageSolver(J, None, 1.0, dt0 * g, int(y0.size),
+                                    use_inverse=True)
+                for g in gammas
+            }
+
+        J, cache = _frozen_setup(
+            self, self.setup, params_im, t0, dt0, y0, f_flat, build_cache
+        )
         new = copy.copy(self)
         new.setup = ImplicitSolveSetup(
             lin_cfg=self.setup.lin_cfg,
@@ -504,12 +517,7 @@ class ARKIMEX:
         # fused single-kernel forward (ksponly + linear f_im + MLP f_ex:
         # the linearized single solve is exact Newton, so the whole stage
         # loop collapses to matmuls — ops/fused_ark_forward.py)
-        if (
-            y.ndim == 2
-            and y.dtype == jnp.float32
-            and self.setup.newton_cfg.ksponly
-            and not self.setup.newton_cfg.ksponly_check
-        ):
+        if self._fused_fwd_ok(y):
             fused = self._fused_reverse_args(params, dt=dt)
             if fused is not None:
                 from .ops.fused_ark_forward import fused_ark_step_fwd
@@ -523,6 +531,17 @@ class ARKIMEX:
                 )
                 return y1, aux, self._fused_stats()
         return self._step_generic(t, dt, y, params)
+
+    def _fused_fwd_ok(self, y):
+        """Shared forward-path gate for the fused step kernels: batched 2-D
+        fp32 state and a ksponly (single linearized solve) configuration
+        without the opt-in residual check."""
+        return (
+            y.ndim == 2
+            and y.dtype == jnp.float32
+            and self.setup.newton_cfg.ksponly
+            and not self.setup.newton_cfg.ksponly_check
+        )
 
     def _fused_stats(self):
         n_impl = sum(
@@ -598,12 +617,7 @@ class ARKIMEX:
         # fused single-kernel trial step with in-kernel embedded error
         # (the adaptive controller's dt varies, so the stage inverse is
         # computed per trial step — see _fused_reverse_args(dt=...))
-        if (
-            y.ndim == 2
-            and y.dtype == jnp.float32
-            and self.setup.newton_cfg.ksponly
-            and not self.setup.newton_cfg.ksponly_check
-        ):
+        if self._fused_fwd_ok(y):
             fused = self._fused_reverse_args(params, dt=dt)
             if fused is not None:
                 from .ops.fused_ark_forward import fused_ark_step_fwd
@@ -634,6 +648,12 @@ class ARKIMEX:
         Conditions = the reference's production stiff-PDE configuration:
         frozen shared dense J for a parameter-free implicit part, single
         ESDIRK gamma, and a model-provided MLP spec for the explicit part.
+        ``for_reverse`` selects the VMEM budget: the reverse kernel holds
+        the weight stack twice (weights + dW accumulators). The steppers
+        always pass the default (full reverse-capable budget) — fusing
+        only the forward measured a regression at Burgers sizes
+        (RESULTS.md); the parameter documents the two budgets for direct
+        kernel callers.
         The pre-inverted stage operator comes from the per-solve cache
         (uniform dt); when absent and ``dt`` is given (non-uniform grids,
         the adaptive controller's trial steps) the inverse

@@ -346,3 +346,33 @@ def test_ark_step_adjoint_recompute_path_matches_stored():
     for ga, gb in zip(jax.tree_util.tree_leaves(g_a),
                       jax.tree_util.tree_leaves(g_b)):
         np.testing.assert_allclose(ga, gb, rtol=1e-10)
+
+
+def test_time_shifted_windows_refreeze_jacobian():
+    """Regression (r2 code review): the solve-fn cache must key on the
+    static grid t0 — a frozen Jacobian of a NON-autonomous implicit part
+    linearized at the first window's t0 must not be reused for a
+    time-shifted window of identical geometry."""
+    import pnode_tpu
+    from pnode_tpu import Func, ODESolver
+
+    def f(t, y, p):
+        return -(1.0 + t) * y
+
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["p"])
+    ode = ODESolver()
+    y0 = jnp.array([1.0])
+    ode.setupTS(y0, Func(f, {}), step_size=0.05, method="beuler",
+                implicit_form=True, linear_solver="lu", fixed_jacobian=True)
+    s1, _ = ode.solve(y0, jnp.array([0.0, 1.0]))
+    s2, _ = ode.solve(y0, jnp.array([10.0, 11.0]))
+    # ground truth: y(t1) = y0 * exp(-(t1-t0) - (t1^2-t0^2)/2)
+    ref1 = float(np.exp(-1.0 - 0.5))
+    ref2 = float(np.exp(-1.0 - (121.0 - 100.0) / 2.0))
+    np.testing.assert_allclose(float(s1[-1][0]), ref1, rtol=5e-2)
+    # order-1 BE at dt=0.05 on e^{-21t}-scale decay is coarse: assert the
+    # decade, not the digit
+    np.testing.assert_allclose(float(s2[-1][0]), ref2, rtol=0, atol=2e-4)
+    # the real assertion: no blow-up from a stale frozen Jacobian
+    assert np.isfinite(float(s2[-1][0])) and abs(float(s2[-1][0])) < 1.0
