@@ -117,7 +117,9 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign,
 
         p = None
         if u is not None:
-            p = jnp.dot(u, jt, preferred_element_type=jnp.float32)
+            # HIGHEST: stiff operator transpose (see fused_ark_forward)
+            p = jnp.dot(u, jt, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         if uh is not None:
             # MLP VJP at Y_i with covector sign * uh:
             # recompute forward storing layer inputs, then backprop
@@ -151,7 +153,8 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign,
             p = dyE if p is None else p + dyE
 
         if aI[i][i] != 0.0:
-            xi = jnp.dot(p, invt, preferred_element_type=jnp.float32)
+            xi = jnp.dot(p, invt, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         else:
             xi = p
         xis[i] = xi

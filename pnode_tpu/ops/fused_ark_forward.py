@@ -86,14 +86,22 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, dI, dE, sign,
             if aE[i][j] != 0.0:
                 G = G + (dt * aE[i][j]) * kE[j]
         if aI[i][i] != 0.0:
+            # HIGHEST precision: these operators are STIFF (||J|| ~ 1/dx^4
+            # for the PDE stencils); the TPU's default single-pass bf16 dot
+            # loses ~0.4% per apply, which compounds across stages into an
+            # O(1)-wrong step (found on hardware: KS training plateaued
+            # while every CPU test passed — CPU dots are exact fp32)
             r = (-dt * aI[i][i]) * jnp.dot(
-                G, jf, preferred_element_type=jnp.float32
+                G, jf, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-            Yi = G - jnp.dot(r, invf, preferred_element_type=jnp.float32)
+            Yi = G - jnp.dot(r, invf, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
         else:
             Yi = G
         ys_ref[i] = Yi.astype(ys_ref.dtype)
-        kI[i] = jnp.dot(Yi, jf, preferred_element_type=jnp.float32)
+        kI[i] = jnp.dot(Yi, jf, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         kE[i] = sign * mlp(Yi)
         if bI[i] != 0.0:
             y1 = y1 + (dt * bI[i]) * kI[i]

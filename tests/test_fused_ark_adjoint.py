@@ -190,3 +190,58 @@ def test_fused_forward_step_matches_generic():
                     jax.tree_util.tree_leaves(g_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-6)
+
+
+def test_fused_kernels_use_highest_precision_stiff_dots():
+    """Regression (found on hardware): the kernels' stiff-operator applies
+    (J / inv_op, norms ~1/dx^4) MUST run at HIGHEST matmul precision — the
+    TPU's default single-pass bf16 dot loses ~0.4% per apply, which
+    compounds across ARK stages into an O(1)-wrong step and silently
+    plateaued KS training while every CPU test passed (CPU dots are exact
+    fp32, so only a jaxpr-level check can guard this off-hardware)."""
+    import jax
+    from pnode_tpu.ops.fused_ark_forward import fused_ark_step_fwd
+    from pnode_tpu.ops.fused_ark_adjoint import fused_ark_step_adj
+    from pnode_tpu.tableaus import get_ark_tableau
+
+    tab = get_ark_tableau("3")
+    aI = [[float(x) for x in row] for row in tab.a_im]
+    aE = [[float(x) for x in row] for row in tab.a_ex]
+    bI = [float(x) for x in tab.b_im]
+    bE = [float(x) for x in tab.b_ex]
+    B, d, h = 8, 16, 24
+    key = jax.random.PRNGKey(0)
+    y = jax.random.normal(key, (B, d), jnp.float32)
+    J = jax.random.normal(key, (d, d), jnp.float32)
+    inv = jnp.eye(d) + 0.1 * J
+    Ws = [jax.random.normal(key, s, jnp.float32) * 0.05
+          for s in [(d, h), (h, h), (h, d)]]
+    bs = [jnp.zeros((s,), jnp.float32) for s in (h, h, d)]
+
+    def count_highest(fn, *args, **kw):
+        jaxpr = jax.make_jaxpr(lambda: fn(*args, **kw))()
+        n = 0
+        for eqn in jaxpr.jaxpr.eqns:
+            if eqn.primitive.name == "pallas_call":
+                inner = eqn.params["jaxpr"]
+                for e2 in inner.eqns:
+                    if (e2.primitive.name == "dot_general"
+                            and "HIGHEST" in str(e2.params.get("precision"))):
+                        n += 1
+        return n
+
+    n_impl = sum(1 for i in range(len(bI)) if aI[i][i] != 0.0)
+    tbl = (aI, aE, bI, bE)
+    n_fwd = count_highest(
+        fused_ark_step_fwd, tbl, 0.1, y, J, inv, Ws, bs,
+        activation="relu", sign=-1.0, interpret=True,
+    )
+    # forward: per implicit stage r/J-solve pair + kI apply per stage
+    assert n_fwd >= 2 * n_impl + len(bI) - 1, n_fwd
+    aux = jnp.stack([y] * len(bI))
+    lam = jnp.ones_like(y)
+    n_adj = count_highest(
+        fused_ark_step_adj, tbl, 0.1, aux, lam, J, inv, Ws, bs,
+        activation="relu", sign=-1.0, interpret=True,
+    )
+    assert n_adj >= n_impl, n_adj
