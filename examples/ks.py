@@ -161,11 +161,31 @@ def main():
             batch_size=args.batch_size,
         )
 
-    sched = optax.contrib.reduce_on_plateau(
-        factor=0.5, patience=10, cooldown=0, accumulation_size=1
-    )
-    opt = optax.chain(optax.adam(args.lr), sched)
+    # plateau LR decay on the per-EPOCH validation loss, the reference's
+    # torch.optim.lr_scheduler.ReduceLROnPlateau semantics (KS.py steps the
+    # scheduler once per validation). NOTE: optax's reduce_on_plateau as a
+    # per-step chained transform halves the LR after `patience` consecutive
+    # non-improving MINIBATCH losses — on noisy one-step-prediction batches
+    # that collapsed the LR within the first epochs and froze training
+    # (found on hardware: snode plateaued at its initial loss; plain Adam
+    # reached 2e-3).
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=args.lr)
     opt_state = opt.init(params)
+    lr_now, lr_best, lr_bad = args.lr, float("inf"), 0
+
+    def plateau_epoch(vl):
+        """Halve the LR after 10 non-improving validation epochs."""
+        nonlocal lr_now, lr_best, lr_bad
+        if vl < lr_best * (1.0 - 1e-4):
+            lr_best, lr_bad = vl, 0
+            return
+        lr_bad += 1
+        if lr_bad > 10:
+            lr_now, lr_bad = lr_now * 0.5, 0
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                lr_now, jnp.float32
+            )
+            print(f"plateau: lr -> {lr_now:.2e}")
 
     start_epoch, best_val = 0, float("inf")
     ckpt_path = os.path.join(args.train_dir, f"best_{args.pnode_model}.ckpt")
@@ -192,7 +212,7 @@ def main():
             return jnp.mean((jnp.swapaxes(pred[1:], 0, 1) - tgt) ** 2)
 
         loss, g = jax.value_and_grad(loss_fn)(p)
-        updates, opt_state = opt.update(g, opt_state, value=loss)
+        updates, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(p, updates), opt_state, loss
 
     @jax.jit
@@ -239,6 +259,7 @@ def main():
                 )
             ]
             vl = float(np.mean(vlosses)) if vlosses else float("nan")
+            plateau_epoch(vl)
             writer.add_scalar("Val/Loss", vl, step)
             print(
                 f"Epoch {epoch:04d} | Time {time.time()-t0:.2f}s | "
