@@ -1,0 +1,198 @@
+"""On-hardware numerics smoke test (run on a real TPU; ~10 min with compiles).
+
+CPU CI cannot catch hardware-only numerics bugs: CPU dots are exact fp32,
+and pallas interpret mode executed on the TPU backend uses the same
+reduced-precision dots as the compiled kernel, so real-vs-interpret
+comparisons can agree while both are wrong. Round 2 found two such bugs by
+driving real workloads (RESULTS.md): the fused kernels' stiff-operator dots
+ran at single-pass bf16 (O(1)-wrong steps, flat training), and a plateau
+scheduler froze training. This script distills those probes into a
+repeatable gate:
+
+1. solver-vs-data: one IMEX step on cached KS data must beat a loose MSE
+   bound (a garbage forward map fails by 100x);
+2. fused-vs-generic forward parity on the chip;
+3. stiff-J fp64 composition: the fused forward against an exact numpy
+   reference at KS-like stiffness (||J|| ~ 400);
+4. gradient cross-check: discrete-adjoint gradient on the chip vs a CPU
+   fp64 reference (cosine similarity), when one has been saved.
+
+Kept to ~4 compiled programs so the whole run fits in <10 min on the
+tunneled chip.
+
+Exit code 0 = all gates pass. Usage: python tools/hardware_smoke.py
+(on the TPU) / python tools/hardware_smoke.py --cpu (to write the fp64
+reference gradient for gate 4 — plain JAX_PLATFORMS env overrides do not
+stick under the axon sandbox, hence the in-process flag).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    import pnode_tpu
+    from pnode_tpu import FlaxFunc, ODESolver
+    from pnode_tpu.models import KSFuncEX, KSFuncIM
+    from pnode_tpu.data import generate_ks_data
+
+    backend = jax.default_backend()
+    print(f"backend: {backend} ({jax.devices()[0]})")
+    failures = []
+
+    def gate(name, ok, detail):
+        print(f"[{'PASS' if ok else 'FAIL'}] {name}: {detail}")
+        if not ok:
+            failures.append(name)
+
+    B, d = 128, 64
+    dt = 0.2
+    key = jax.random.PRNGKey(0)
+    u_all, _ = generate_ks_data(
+        nx=d, L=22.0, n_samples=600, dt_data=dt,
+        cache_dir="./train_results_ks/data",
+    )
+    y0 = jnp.asarray(u_all[300:300 + B], jnp.float32)
+    tgt = jnp.asarray(u_all[301:301 + B], jnp.float32)
+
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["smoke", "-snes_type", "ksponly"])
+    im = KSFuncIM(nx=d, L=22.0)
+    ex = KSFuncEX(nx=d, use_pallas=True)
+    tmpl = jnp.zeros((B, d), jnp.float32)
+    vim = im.init(key, 0.0, tmpl)
+    vex = ex.init(key, 0.0, tmpl)
+    ode = ODESolver()
+    ode.setupTS(tmpl, FlaxFunc(im, vim), step_size=dt, method="imex",
+                imex_form=True, implicit_form=True, func2=FlaxFunc(ex, vex),
+                linear_solver="hpddm", fixed_jacobian=True, batch_size=B)
+    params = (vim, vex)
+
+    # -- 1. solver-vs-data ---------------------------------------------------
+    pred, _ = ode.solve(y0, jnp.asarray([0.0, dt]), params=params)
+    mse = float(jnp.mean((pred[-1] - tgt) ** 2))
+    ident = float(jnp.mean((y0 - tgt) ** 2))
+    gate("one-step MSE vs KS data", mse < 50 * max(ident, 1e-6),
+         f"solver {mse:.4f}, identity {ident:.4f} (bound {50*ident:.3f})")
+
+    # -- 2. fused-vs-generic parity ------------------------------------------
+    stp = ode._stepper.prepare(0.0, y0, params, dt0=jnp.float32(dt))
+    fused_on = stp._fused_reverse_args(params) is not None
+    print(f"fused gate active: {fused_on}")
+    if fused_on:
+        y1f, auxf, _ = stp.step(0.0, jnp.float32(dt), y0, params)
+        pnode_tpu.set_option("pnode_fused_ark_adjoint", "off")
+        y1g, auxg, _ = stp._step_generic(0.0, jnp.float32(dt), y0, params)
+        dy = float(jnp.max(jnp.abs(y1f - y1g)))
+        sc = float(jnp.max(jnp.abs(y1g)))
+        gate("fused fwd vs generic", dy < 5e-2 * max(sc, 1e-6),
+             f"max diff {dy:.2e} on scale {sc:.2f}")
+        pnode_tpu.set_option("pnode_fused_ark_adjoint", "auto")
+
+    # -- 3. stiff-J fp64 composition -----------------------------------------
+    from pnode_tpu.ops.fused_ark_forward import fused_ark_step_fwd
+    from pnode_tpu.tableaus import get_ark_tableau
+
+    tab = get_ark_tableau("3")
+    aI = [[float(x) for x in row] for row in tab.a_im]
+    aE = [[float(x) for x in row] for row in tab.a_ex]
+    bI = [float(x) for x in tab.b_im]
+    bE = [float(x) for x in tab.b_ex]
+    h = 104
+    yr = jax.random.normal(key, (B, d), jnp.float32)
+    Jr = jax.random.normal(jax.random.PRNGKey(1), (d, d), jnp.float32)
+    Jr = -(Jr @ Jr.T) * (400.0 / d)
+    gamma = [aI[i][i] for i in range(len(bI)) if aI[i][i] != 0.0][0]
+    with jax.default_matmul_precision("highest"):
+        inv = jnp.linalg.inv(jnp.eye(d) - (dt * gamma) * Jr)
+    Ws = [jax.random.normal(jax.random.PRNGKey(i + 2), s, jnp.float32) * 0.05
+          for i, s in enumerate([(d, h), (h, h), (h, h), (h, h), (h, d)])]
+    bs = [jnp.zeros((s,), jnp.float32) for s in (h, h, h, h, d)]
+    y1k, _ = fused_ark_step_fwd((aI, aE, bI, bE), dt, yr, Jr, inv, Ws, bs,
+                                activation="relu", sign=-1.0,
+                                interpret=backend == "cpu")
+    # exact fp64 reference
+    yd = np.asarray(yr, np.float64)
+    Jd = np.asarray(Jr, np.float64)
+    invd = np.linalg.inv(np.eye(d) - dt * gamma * Jd)
+    Wsd = [np.asarray(w, np.float64) for w in Ws]
+
+    def mlp(x):
+        hh = x
+        for i, W in enumerate(Wsd):
+            hh = hh @ W
+            if i < len(Wsd) - 1:
+                hh = np.maximum(hh, 0)
+        return -hh
+
+    s = len(bI)
+    kI = [None] * s
+    kE = [None] * s
+    y1 = yd.copy()
+    for i in range(s):
+        G = yd.copy()
+        for j in range(i):
+            if aI[i][j]:
+                G = G + dt * aI[i][j] * kI[j]
+            if aE[i][j]:
+                G = G + dt * aE[i][j] * kE[j]
+        Yi = G - ((-dt * aI[i][i]) * (G @ Jd.T)) @ invd.T if aI[i][i] else G
+        kI[i] = Yi @ Jd.T
+        kE[i] = mlp(Yi)
+        if bI[i]:
+            y1 = y1 + dt * bI[i] * kI[i]
+        if bE[i]:
+            y1 = y1 + dt * bE[i] * kE[i]
+    dk = float(np.abs(np.asarray(y1k, np.float64) - y1).max())
+    sk = float(np.abs(y1).max())
+    gate("stiff-J kernel vs fp64", dk < 1e-2 * sk,
+         f"max diff {dk:.2e} on scale {sk:.2f}")
+
+    # -- 4. gradient cross-check (chip fp32 vs this process's backend) -------
+    def loss(p):
+        pr = ode.odeint_adjoint(y0, jnp.asarray([0.0, dt]), params=p)
+        return jnp.mean((pr[-1] - tgt) ** 2)
+
+    g = jax.grad(loss)(params)
+    flat = jnp.concatenate([x.reshape(-1)
+                            for x in jax.tree_util.tree_leaves(g)])
+    ref_path = "/tmp/pnode_smoke_grad_cpu.npy"
+    if backend in ("cpu",):
+        np.save(ref_path, np.asarray(flat, np.float64))
+        print("saved CPU reference gradient; rerun on the TPU to compare")
+    elif os.path.exists(ref_path):
+        a = np.load(ref_path)
+        b = np.asarray(flat, np.float64)
+        if a.shape == b.shape:
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            # measured healthy value ~0.995: the TPU's default-precision
+            # (bf16) MLP forward/backward vs the fp64 reference; fused and
+            # generic paths give the SAME cosine (verified), so a drop
+            # below 0.99 indicates real gradient corruption, not precision
+            gate("grad cosine vs CPU fp64", cos > 0.99,
+                 f"cosine {cos:.6f} (healthy ~0.995)")
+        else:
+            print("CPU reference shape mismatch; skipping gradient gate")
+    else:
+        print("no CPU reference gradient found "
+              "(run once with JAX_PLATFORMS=cpu); skipping gate 4")
+
+    print("SMOKE", "FAILED: " + ", ".join(failures) if failures else "OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
