@@ -694,9 +694,12 @@ class ARKIMEX:
                 return None
             J0 = setup.frozen_J_blocks[0]
             d0 = J0.shape[-1]
-            inv_op = jnp.linalg.inv(
-                jnp.eye(d0, dtype=J0.dtype) - (dt * gamma) * J0
-            )
+            # HIGHEST: same guard as DenseStageSolver — the TPU bf16 matmul
+            # default corrupts the inverse of stiff operators
+            with jax.default_matmul_precision("highest"):
+                inv_op = jnp.linalg.inv(
+                    jnp.eye(d0, dtype=J0.dtype) - (dt * gamma) * J0
+                )
         params_im, params_ex = params
         if len(jax.tree_util.tree_leaves(params_im)) != 0:
             return None
