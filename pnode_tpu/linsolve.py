@@ -354,11 +354,15 @@ def make_stage_solver(
         else:
             batch, d = cfg.blocks_of(n)
 
+            hp = jax.lax.Precision.HIGHEST
+
             def mass_mv(v):
-                return (v.reshape(batch, d) @ mass_flat.T).reshape(-1)
+                return jnp.matmul(v.reshape(batch, d), mass_flat.T,
+                                  precision=hp).reshape(-1)
 
             def mass_rmv(v):
-                return (v.reshape(batch, d) @ mass_flat).reshape(-1)
+                return jnp.matmul(v.reshape(batch, d), mass_flat,
+                                  precision=hp).reshape(-1)
 
         return GMRESStageSolver(f_flat, y_flat, mass_mv, mass_rmv, sigma, gamma, cfg)
 

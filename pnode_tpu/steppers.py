@@ -68,13 +68,17 @@ class StepStats(NamedTuple):
 def _mass_apply(mass, v):
     if mass is None:
         return v
-    return jnp.einsum("ij,...j->...i", mass, v)
+    # HIGHEST: DAE mass matrices enter stiff residuals; keep the apply
+    # exact on TPU (bf16-default einsum would perturb the constraint rows)
+    return jnp.einsum("ij,...j->...i", mass, v,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _mass_apply_T(mass, v):
     if mass is None:
         return v
-    return jnp.einsum("ji,...j->...i", mass, v)
+    return jnp.einsum("ji,...j->...i", mass, v,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 class ExplicitRK:
