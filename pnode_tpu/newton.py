@@ -102,5 +102,21 @@ def newton_solve(
         return z_new, rnorm_new, jnp.linalg.norm(delta), it + 1
 
     big = jnp.asarray(jnp.inf, z0.dtype)
-    z, rnorm, _, iters = lax.while_loop(cond, body, (z0, r0norm, big, jnp.array(0)))
-    return z, NewtonStats(iters=iters, resnorm=rnorm, converged=rnorm <= jnp.maximum(target, 10 * jnp.finfo(z0.dtype).eps * (1 + r0norm)))
+    z, rnorm, dznorm, iters = lax.while_loop(
+        cond, body, (z0, r0norm, big, jnp.array(0))
+    )
+    # success = residual criterion OR step-size criterion — a stol exit is
+    # PETSc's CONVERGED_SNORM_RELATIVE, a success code (the iteration has
+    # stagnated at the precision floor, common in fp32 where rtol*r0 may be
+    # unreachable), not a failure
+    res_ok = rnorm <= jnp.maximum(
+        target, 10 * jnp.finfo(z0.dtype).eps * (1 + r0norm)
+    )
+    step_ok = jnp.logical_and(
+        dznorm <= cfg.stol * (1.0 + jnp.linalg.norm(z)),
+        jnp.isfinite(rnorm),
+    )
+    return z, NewtonStats(
+        iters=iters, resnorm=rnorm,
+        converged=jnp.logical_or(res_ok, step_ok),
+    )

@@ -156,10 +156,18 @@ class ODESolver:
             block_size=n_tmpl // int(batch_size),
             fixed_jacobian=bool(fixed_jacobian),
         )
+        # dtype-aware Newton tolerance defaults: PETSc's 1e-8 presumes fp64;
+        # in fp32 (the TPU production dtype) the residual floors around
+        # ~50*eps relative, so an unreachable rtol spins every stage to
+        # max_it and flags converged=False on solves that are in fact at
+        # machine precision (observed on hardware: 150 iters vs 6 on fp64).
+        # Explicit -snes_rtol/-snes_stol flags always win.
+        fp32 = jnp.dtype(self.dtype).itemsize <= 4
+        tol_default = 5e-6 if fp32 else 1e-8
         self.newton_cfg = NewtonConfig(
-            rtol=self.opts.get_real("snes_rtol", 1e-8),
+            rtol=self.opts.get_real("snes_rtol", tol_default),
             atol=self.opts.get_real("snes_atol", 1e-50),
-            stol=self.opts.get_real("snes_stol", 1e-8),
+            stol=self.opts.get_real("snes_stol", tol_default),
             max_it=self.opts.get_int("snes_max_it", 50),
             ksponly=self.opts.get_string("snes_type", "newtonls") == "ksponly",
             ksponly_check=bool(self.opts.get_int("snes_ksponly_check", 0)),
