@@ -64,6 +64,26 @@ from pnode_tpu.utils import MetricsWriter, RunningAverageMeter, makedirs
 SHAPES = {"mnist": (28, 28, 1), "cifar10": (32, 32, 3)}
 
 
+def load_mnist_idx(data_dir):
+    """Standard MNIST IDX format (train-images-idx3-ubyte[.gz]) — what the
+    reference's torchvision download leaves on disk."""
+    import gzip
+    import struct
+
+    for fname in ("train-images-idx3-ubyte", "train-images.idx3-ubyte"):
+        for opener, suff in ((gzip.open, ".gz"), (open, "")):
+            path = os.path.join(data_dir, fname + suff)
+            if not os.path.exists(path):
+                continue
+            with opener(path, "rb") as f:
+                magic, n, h, w = struct.unpack(">IIII", f.read(16))
+                if magic != 0x803:
+                    raise ValueError(f"bad IDX magic {magic:#x} in {path}")
+                x = np.frombuffer(f.read(n * h * w), np.uint8)
+            return x.reshape(n, h, w, 1)
+    raise FileNotFoundError("no MNIST IDX file")
+
+
 def load_images(name, data_dir):
     """uint8 images in [0, 255]; synthetic surrogate when files absent."""
     try:
@@ -76,6 +96,10 @@ def load_images(name, data_dir):
                 xs.append(np.asarray(d[b"data"]))
             x = np.concatenate(xs).reshape(-1, 3, 32, 32)
             return x.transpose(0, 2, 3, 1).astype(np.uint8), False
+        try:
+            return load_mnist_idx(data_dir), False
+        except FileNotFoundError:
+            pass
         with open(os.path.join(data_dir, "mnist.pkl"), "rb") as f:
             x = pickle.load(f)["train_x"]
         return x.reshape(-1, 28, 28, 1).astype(np.uint8), False

@@ -22,6 +22,7 @@ from examples.common import init_flags  # noqa: E402
 
 parser = argparse.ArgumentParser("grand")
 parser.add_argument("--dataset", type=str, default="synthetic")
+parser.add_argument("--data_dir", type=str, default="./data/planetoid")
 parser.add_argument("--function", type=str, default="laplacian",
                     choices=["laplacian", "transformer"])
 parser.add_argument("--block", type=str, default="pnode",
@@ -70,6 +71,7 @@ from pnode_tpu.models.grand import (
     gdc_rewiring,
     get_rw_adj,
     laplacian_positional_encoding,
+    load_planetoid,
     synthetic_sbm,
     two_hop,
 )
@@ -77,10 +79,17 @@ from pnode_tpu.utils import Recorder, makedirs
 
 
 def main():
-    data = synthetic_sbm(seed=args.seed)
     if args.dataset != "synthetic":
-        print(f"dataset {args.dataset!r} files unavailable offline; using "
-              "the SBM surrogate")
+        try:
+            data = load_planetoid(args.data_dir, args.dataset)
+            print(f"loaded planetoid {args.dataset!r}: "
+                  f"{data['x'].shape[0]} nodes")
+        except (FileNotFoundError, OSError):
+            print(f"dataset {args.dataset!r} files not found in "
+                  f"{args.data_dir}; using the SBM surrogate")
+            data = synthetic_sbm(seed=args.seed)
+    else:
+        data = synthetic_sbm(seed=args.seed)
     n = len(data["y"])
     edge_index = data["edge_index"]
     if args.rewiring == "two_hop":

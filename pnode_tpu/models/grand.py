@@ -402,3 +402,72 @@ def synthetic_sbm(n_nodes=400, n_classes=4, feat_dim=32, p_in=0.06,
         "val_mask": (masks >= 0.4) & (masks < 0.6),
         "test_mask": masks >= 0.6,
     }
+
+
+def load_planetoid(data_dir, name="cora"):
+    """Planetoid file-format loader (ind.<name>.{x,tx,allx,y,ty,ally,graph,
+    test.index}) — the on-disk format behind the reference's
+    torch_geometric Planetoid datasets (grand/src/data.py get_dataset).
+
+    Returns the same dict schema as :func:`synthetic_sbm` with the standard
+    public splits: train = the labeled ``x`` block, val = the next 500
+    nodes, test = the (reordered) ``tx`` block. Features/labels for the
+    isolated test nodes are patched in at their permuted positions, as the
+    original Planetoid code does. Raises FileNotFoundError when the files
+    are absent (callers fall back to the SBM surrogate offline).
+    """
+    import os
+    import pickle
+
+    def _read(part):
+        path = os.path.join(data_dir, f"ind.{name}.{part}")
+        with open(path, "rb") as f:
+            return pickle.load(f, encoding="latin1")
+
+    x, tx, allx = _read("x"), _read("tx"), _read("allx")
+    y, ty, ally = _read("y"), _read("ty"), _read("ally")
+    graph = _read("graph")
+    idx_path = os.path.join(data_dir, f"ind.{name}.test.index")
+    test_idx = np.loadtxt(idx_path, dtype=np.int64).reshape(-1)
+
+    def _dense(m):
+        return np.asarray(m.todense() if hasattr(m, "todense") else m,
+                          np.float32)
+
+    allx, tx, x = _dense(allx), _dense(tx), _dense(x)
+    n = allx.shape[0] + tx.shape[0]
+    feats = np.zeros((n, allx.shape[1]), np.float32)
+    feats[: allx.shape[0]] = allx
+    # test rows are stored shuffled; place them at their true indices
+    order = np.sort(test_idx)
+    feats[order] = tx[np.argsort(test_idx)]
+    labels_oh = np.zeros((n, np.asarray(y).shape[1]), np.float32)
+    labels_oh[: np.asarray(ally).shape[0]] = np.asarray(ally, np.float32)
+    labels_oh[order] = np.asarray(ty, np.float32)[np.argsort(test_idx)]
+    labels = labels_oh.argmax(axis=1).astype(np.int32)
+
+    src, dst = [], []
+    for u, nbrs in graph.items():
+        for v in nbrs:
+            if u == v:
+                continue
+            src.append(u)
+            dst.append(v)
+    edge_index = np.stack([np.asarray(src, np.int64),
+                           np.asarray(dst, np.int64)])
+
+    n_train = x.shape[0]
+    train_mask = np.zeros(n, bool)
+    train_mask[:n_train] = True
+    val_mask = np.zeros(n, bool)
+    val_mask[n_train:n_train + 500] = True
+    test_mask = np.zeros(n, bool)
+    test_mask[order] = True
+    return {
+        "x": feats,
+        "y": labels,
+        "edge_index": edge_index,
+        "train_mask": train_mask,
+        "val_mask": val_mask,
+        "test_mask": test_mask,
+    }

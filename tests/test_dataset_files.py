@@ -1,0 +1,78 @@
+"""File-format dataset loaders against synthetic files written in the REAL
+on-disk formats (the actual archives need network egress): MNIST IDX,
+Planetoid ind.* pickles. The MAF tabular loaders have their own tests."""
+
+import gzip
+import os
+import pickle
+import struct
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def test_mnist_idx_loader(tmp_path):
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (7, 28, 28), dtype=np.uint8)
+    raw = struct.pack(">IIII", 0x803, 7, 28, 28) + imgs.tobytes()
+    with gzip.open(tmp_path / "train-images-idx3-ubyte.gz", "wb") as f:
+        f.write(raw)
+
+    import importlib
+
+    sys.argv = ["ffjord_image", "--cpu"]
+    mod = importlib.import_module("ffjord_image")
+    x = mod.load_mnist_idx(str(tmp_path))
+    assert x.shape == (7, 28, 28, 1)
+    np.testing.assert_array_equal(x[..., 0], imgs)
+    # load_images routes through the IDX path
+    x2, synthetic = mod.load_images("mnist", str(tmp_path))
+    assert not synthetic and x2.shape == (7, 28, 28, 1)
+
+
+def test_planetoid_loader(tmp_path):
+    from pnode_tpu.models.grand import load_planetoid
+
+    rng = np.random.default_rng(1)
+    n_train, n_extra, n_test, f, c = 6, 8, 4, 5, 3
+    n = n_train + n_extra + n_test
+    x = rng.normal(size=(n_train, f)).astype(np.float32)
+    allx = np.concatenate(
+        [x, rng.normal(size=(n_extra, f)).astype(np.float32)]
+    )
+    tx = rng.normal(size=(n_test, f)).astype(np.float32)
+
+    def onehot(k):
+        lab = rng.integers(0, c, k)
+        out = np.zeros((k, c), np.int64)
+        out[np.arange(k), lab] = 1
+        return out
+
+    y = onehot(n_train)
+    ally = np.concatenate([y, onehot(n_extra)])
+    ty = onehot(n_test)
+    graph = {i: [int(j) for j in rng.integers(0, n, 2)] for i in range(n)}
+    # test indices permuted, as in the real files
+    test_idx = np.arange(n_train + n_extra, n)
+    rng.shuffle(test_idx)
+
+    parts = {"x": x, "tx": tx, "allx": allx, "y": y, "ty": ty,
+             "ally": ally, "graph": graph}
+    for part, obj in parts.items():
+        with open(tmp_path / f"ind.cora.{part}", "wb") as fh:
+            pickle.dump(obj, fh)
+    np.savetxt(tmp_path / "ind.cora.test.index", test_idx, fmt="%d")
+
+    data = load_planetoid(str(tmp_path), "cora")
+    assert data["x"].shape == (n, f)
+    assert data["y"].shape == (n,)
+    # permuted test rows restored to their true positions
+    order = np.sort(test_idx)
+    np.testing.assert_allclose(data["x"][order],
+                               tx[np.argsort(test_idx)], rtol=1e-6)
+    assert data["train_mask"].sum() == n_train
+    assert data["test_mask"].sum() == n_test
+    assert data["edge_index"].shape[0] == 2
+    assert not (data["train_mask"] & data["test_mask"]).any()
