@@ -114,3 +114,37 @@ def test_help_registry_accumulates_queried_options():
     assert "ts_type" in reg
     assert "snes_rtol" in reg and reg["snes_rtol"] == "1e-08"
     assert "ts_trajectory_max_cps_ram" in reg
+
+
+def test_newton_tolerance_defaults_scale_with_dtype():
+    """fp32 templates get reachable Newton tolerances (5e-6); fp64 keeps
+    the PETSc default 1e-8; explicit flags always win (found on hardware:
+    unreachable fp64-calibrated rtol spun stages to max_it and flagged
+    converged=False on machine-precision solves)."""
+    import jax.numpy as jnp
+
+    import pnode_tpu
+    from pnode_tpu import Func, ODESolver
+
+    def f(t, y, p):
+        return -y
+
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["p"])
+    ode32 = ODESolver()
+    ode32.setupTS(jnp.zeros((2,), jnp.float32), Func(f, {}), step_size=0.1,
+                  method="cn", implicit_form=True)
+    assert ode32.newton_cfg.rtol == 5e-6
+    assert ode32.newton_cfg.stol == 5e-6
+
+    ode64 = ODESolver()
+    ode64.setupTS(jnp.zeros((2,), jnp.float64), Func(f, {}), step_size=0.1,
+                  method="cn", implicit_form=True)
+    assert ode64.newton_cfg.rtol == 1e-8
+
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["p", "-snes_rtol", "1e-3"])
+    ode_flag = ODESolver()
+    ode_flag.setupTS(jnp.zeros((2,), jnp.float32), Func(f, {}),
+                     step_size=0.1, method="cn", implicit_form=True)
+    assert ode_flag.newton_cfg.rtol == 1e-3
