@@ -166,6 +166,96 @@ class ConcatCoordConv2d(nn.Module):
                     strides=(self.stride, self.stride), padding="SAME")(ty)
 
 
+class SquashConv2d(nn.Module):
+    """conv(y) * sigmoid(gate(t)) (SquashConv2d, basic.py:179-210)."""
+
+    dim_out: int
+    ksize: int = 3
+    stride: int = 1
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, t, y):
+        tf = jnp.asarray(t, y.dtype).reshape(1)
+        gate = nn.Dense(self.dim_out)(tf)
+        Conv = nn.ConvTranspose if self.transpose else nn.Conv
+        out = Conv(self.dim_out, (self.ksize, self.ksize),
+                   strides=(self.stride, self.stride), padding="SAME")(y)
+        return out * nn.sigmoid(gate)
+
+
+class ConcatConv2dV2(nn.Module):
+    """conv(y) + bias(t) broadcast over H,W (ConcatConv2d_v2,
+    basic.py:244-272)."""
+
+    dim_out: int
+    ksize: int = 3
+    stride: int = 1
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, t, y):
+        tf = jnp.asarray(t, y.dtype).reshape(1)
+        bias = nn.Dense(self.dim_out, use_bias=False)(tf)
+        Conv = nn.ConvTranspose if self.transpose else nn.Conv
+        out = Conv(self.dim_out, (self.ksize, self.ksize),
+                   strides=(self.stride, self.stride), padding="SAME")(y)
+        return out + bias
+
+
+class BlendConv2d(nn.Module):
+    """conv0(y) + t (conv1(y) - conv0(y)) (BlendConv2d, basic.py:435-475)."""
+
+    dim_out: int
+    ksize: int = 3
+    stride: int = 1
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, t, y):
+        Conv = nn.ConvTranspose if self.transpose else nn.Conv
+        conv = lambda: Conv(self.dim_out, (self.ksize, self.ksize),
+                            strides=(self.stride, self.stride),
+                            padding="SAME")
+        f0 = conv()(y)
+        f1 = conv()(y)
+        tt = jnp.asarray(t, y.dtype)
+        return f0 + tt * (f1 - f0)
+
+
+class HyperConv2d(nn.Module):
+    """Conv kernel+bias generated from t by a hypernetwork (HyperConv2d,
+    basic.py:89-153). The generated kernel is applied with
+    ``lax.conv_general_dilated`` in NHWC/HWIO layout."""
+
+    dim_out: int
+    ksize: int = 3
+    stride: int = 1
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, t, y):
+        dim_in = y.shape[-1]
+        k = self.ksize
+        n_w = dim_in * self.dim_out * k * k
+        tf = jnp.asarray(t, y.dtype).reshape(1)
+        wb = nn.Dense(n_w + self.dim_out,
+                      kernel_init=nn.initializers.normal(0.01))(tf)
+        kernel = wb[:n_w].reshape(k, k, dim_in, self.dim_out)
+        bias = wb[n_w:]
+        if self.transpose:
+            out = jax.lax.conv_transpose(
+                y, kernel, strides=(self.stride, self.stride),
+                padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            out = jax.lax.conv_general_dilated(
+                y, kernel, window_strides=(self.stride, self.stride),
+                padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        return out + bias
+
+
 class ConcatSquashConv2d(nn.Module):
     dim_out: int
     ksize: int = 3
@@ -242,13 +332,20 @@ DIFFEQ_LAYERS = {
     "concatsquash": ConcatSquashLinear,
     "hyper": HyperLinear,
     "blend": BlendLinear,
+    # the reference maps concatcoord -> ConcatLinear for the dense path
+    # (odefunc.py:136: coordinates only exist for images)
+    "concatcoord": ConcatLinear,
 }
 
 DIFFEQ_CONV_LAYERS = {
     "ignore": IgnoreConv2d,
     "concat": ConcatConv2d,
+    "concat_v2": ConcatConv2dV2,
     "concatcoord": ConcatCoordConv2d,
     "concatsquash": ConcatSquashConv2d,
+    "squash": SquashConv2d,
+    "blend": BlendConv2d,
+    "hyper": HyperConv2d,
 }
 
 

@@ -435,15 +435,24 @@ def load_planetoid(data_dir, name="cora"):
                           np.float32)
 
     allx, tx, x = _dense(allx), _dense(tx), _dense(x)
-    n = allx.shape[0] + tx.shape[0]
+    # citeseer's test.index has GAPS (isolated test nodes): size the graph
+    # from the index RANGE, not the tx row count, and leave zero rows for
+    # the missing indices — the original Planetoid loader's tx_extended /
+    # ty_extended patching (grand/src/data.py -> gcn's load_data)
+    n = int(max(
+        allx.shape[0] + (test_idx.max() - test_idx.min() + 1),
+        test_idx.max() + 1,
+        allx.shape[0] + tx.shape[0],
+    ))
     feats = np.zeros((n, allx.shape[1]), np.float32)
     feats[: allx.shape[0]] = allx
     # test rows are stored shuffled; place them at their true indices
+    # (node test_idx[i] <- tx[i]; gapped indices keep zero features)
     order = np.sort(test_idx)
-    feats[order] = tx[np.argsort(test_idx)]
+    feats[test_idx] = tx
     labels_oh = np.zeros((n, np.asarray(y).shape[1]), np.float32)
     labels_oh[: np.asarray(ally).shape[0]] = np.asarray(ally, np.float32)
-    labels_oh[order] = np.asarray(ty, np.float32)[np.argsort(test_idx)]
+    labels_oh[test_idx] = np.asarray(ty, np.float32)
     labels = labels_oh.argmax(axis=1).astype(np.int32)
 
     src, dst = [], []

@@ -157,13 +157,15 @@ class ODESolver:
             fixed_jacobian=bool(fixed_jacobian),
         )
         # dtype-aware Newton tolerance defaults: PETSc's 1e-8 presumes fp64;
-        # in fp32 (the TPU production dtype) the residual floors around
-        # ~50*eps relative, so an unreachable rtol spins every stage to
-        # max_it and flags converged=False on solves that are in fact at
-        # machine precision (observed on hardware: 150 iters vs 6 on fp64).
+        # in lower precisions the residual floors around ~50*eps relative,
+        # so an unreachable rtol spins every stage to max_it and flags
+        # converged=False on solves that are in fact at machine precision
+        # (observed on hardware: 150 iters vs 6 on fp64). Derive the floor
+        # from the dtype's machine epsilon so half precisions (bf16 eps
+        # ~7.8e-3) get a reachable target too, not the fp32 constant.
         # Explicit -snes_rtol/-snes_stol flags always win.
-        fp32 = jnp.dtype(self.dtype).itemsize <= 4
-        tol_default = 5e-6 if fp32 else 1e-8
+        eps = float(jnp.finfo(jnp.dtype(self.dtype)).eps)
+        tol_default = max(50.0 * eps, 1e-8)
         self.newton_cfg = NewtonConfig(
             rtol=self.opts.get_real("snes_rtol", tol_default),
             atol=self.opts.get_real("snes_atol", 1e-50),
@@ -320,7 +322,8 @@ class ODESolver:
     def _get_adaptive_fn(self, t_full, with_adjoint: bool):
         from .adaptive import AdaptConfig, make_adaptive_odeint
 
-        key = ("adaptive", tuple(float(x) for x in t_full), with_adjoint)
+        key = ("adaptive", tuple(float(x) for x in t_full), with_adjoint,
+               self.traj)
         fn = self._cache.get(key)
         if fn is None:
             if not hasattr(self._stepper, "step_embedded"):
@@ -361,7 +364,8 @@ class ODESolver:
             )
             fn = jax.jit(
                 make_adaptive_odeint(
-                    self._stepper, t_full, cfg, dt0, with_adjoint=with_adjoint
+                    self._stepper, t_full, cfg, dt0,
+                    with_adjoint=with_adjoint, traj=self.traj
                 )
             )
             self._cache[key] = fn

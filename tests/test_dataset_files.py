@@ -76,3 +76,50 @@ def test_planetoid_loader(tmp_path):
     assert data["test_mask"].sum() == n_test
     assert data["edge_index"].shape[0] == 2
     assert not (data["train_mask"] & data["test_mask"]).any()
+
+
+def test_planetoid_loader_citeseer_gapped_index(tmp_path):
+    """citeseer's test.index has GAPS (isolated nodes): max(test_idx) exceeds
+    allx.rows + tx.rows. The loader must zero-extend over the index range
+    (the original Planetoid tx_extended patching) instead of crashing."""
+    from pnode_tpu.models.grand import load_planetoid
+
+    rng = np.random.default_rng(2)
+    n_train, n_extra, n_test, f, c = 5, 7, 4, 6, 3
+    base = n_train + n_extra
+    x = rng.normal(size=(n_train, f)).astype(np.float32)
+    allx = np.concatenate(
+        [x, rng.normal(size=(n_extra, f)).astype(np.float32)]
+    )
+    tx = rng.normal(size=(n_test, f)).astype(np.float32)
+
+    def onehot(k):
+        lab = rng.integers(0, c, k)
+        out = np.zeros((k, c), np.int64)
+        out[np.arange(k), lab] = 1
+        return out
+
+    y = onehot(n_train)
+    ally = np.concatenate([y, onehot(n_extra)])
+    ty = onehot(n_test)
+    # gapped: indices {base, base+2, base+3, base+6} — base+1/+4/+5 isolated
+    test_idx = np.asarray([base, base + 2, base + 3, base + 6])
+    n_full = base + 7  # index range [base, base+6]
+    graph = {i: [int(j) for j in rng.integers(0, n_full, 2)]
+             for i in range(n_full)}
+    rng.shuffle(test_idx)
+
+    parts = {"x": x, "tx": tx, "allx": allx, "y": y, "ty": ty,
+             "ally": ally, "graph": graph}
+    for part, obj in parts.items():
+        with open(tmp_path / f"ind.citeseer.{part}", "wb") as fh:
+            pickle.dump(obj, fh)
+    np.savetxt(tmp_path / "ind.citeseer.test.index", test_idx, fmt="%d")
+
+    data = load_planetoid(str(tmp_path), "citeseer")
+    assert data["x"].shape == (n_full, f)
+    # real test rows at their true positions; isolated nodes zero rows
+    np.testing.assert_allclose(data["x"][test_idx], tx, rtol=1e-6)
+    np.testing.assert_array_equal(data["x"][base + 1], np.zeros(f))
+    assert data["test_mask"].sum() == n_test
+    assert not data["test_mask"][base + 1]

@@ -153,6 +153,33 @@ def test_diffeq_layers_forward_shapes(layer_type):
         assert not np.allclose(out, out2)
 
 
+@pytest.mark.parametrize("layer_type", ["ignore", "concat", "concat_v2",
+                                        "concatcoord", "concatsquash",
+                                        "squash", "blend", "hyper"])
+def test_diffeq_conv_layers_forward_shapes_and_grads(layer_type):
+    """Every reference --layer_type string resolves for the conv family
+    (HyperConv2d basic.py:89, SquashConv2d :179, ConcatConv2d_v2 :244,
+    BlendConv2d :435 included), keeps NHWC shape, depends on t, and has
+    finite parameter gradients."""
+    from pnode_tpu.ffjord.layers import DIFFEQ_CONV_LAYERS, build_diffeq_layer
+
+    assert layer_type in DIFFEQ_CONV_LAYERS
+    layer = build_diffeq_layer(layer_type, 3, conv=True)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 6, 6, 3)),
+                    jnp.float32)
+    p = layer.init(jax.random.PRNGKey(1), 0.3, x)
+    out = layer.apply(p, 0.3, x)
+    assert out.shape == (2, 6, 6, 3)
+    out2 = layer.apply(p, 0.9, x)
+    if layer_type != "ignore":
+        assert not np.allclose(out, out2)
+
+    g = jax.grad(lambda pp: jnp.sum(layer.apply(pp, 0.3, x) ** 2))(p)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves and all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
 def test_moving_batch_norm_invertible():
     bn = MovingBatchNorm(3)
     x = jnp.asarray(np.random.default_rng(7).normal(size=(16, 3)) * 2 + 1)

@@ -117,11 +117,13 @@ def test_help_registry_accumulates_queried_options():
 
 
 def test_newton_tolerance_defaults_scale_with_dtype():
-    """fp32 templates get reachable Newton tolerances (5e-6); fp64 keeps
-    the PETSc default 1e-8; explicit flags always win (found on hardware:
-    unreachable fp64-calibrated rtol spun stages to max_it and flagged
-    converged=False on machine-precision solves)."""
+    """Newton tolerance defaults derive from machine epsilon (~50*eps,
+    floored at PETSc's fp64 1e-8): fp32 gets a reachable ~6e-6, bf16
+    ~0.39 instead of an impossible sub-eps target; explicit flags always
+    win (found on hardware: unreachable fp64-calibrated rtol spun stages
+    to max_it and flagged converged=False on machine-precision solves)."""
     import jax.numpy as jnp
+    import numpy as np
 
     import pnode_tpu
     from pnode_tpu import Func, ODESolver
@@ -134,8 +136,15 @@ def test_newton_tolerance_defaults_scale_with_dtype():
     ode32 = ODESolver()
     ode32.setupTS(jnp.zeros((2,), jnp.float32), Func(f, {}), step_size=0.1,
                   method="cn", implicit_form=True)
-    assert ode32.newton_cfg.rtol == 5e-6
-    assert ode32.newton_cfg.stol == 5e-6
+    tol32 = 50.0 * float(np.finfo(np.float32).eps)
+    assert ode32.newton_cfg.rtol == tol32
+    assert ode32.newton_cfg.stol == tol32
+
+    ode16 = ODESolver()
+    ode16.setupTS(jnp.zeros((2,), jnp.bfloat16), Func(f, {}), step_size=0.1,
+                  method="cn", implicit_form=True)
+    # bf16 eps ~7.8e-3: the default must stay above it, not at fp32's 5e-6
+    assert ode16.newton_cfg.rtol >= float(jnp.finfo(jnp.bfloat16).eps)
 
     ode64 = ODESolver()
     ode64.setupTS(jnp.zeros((2,), jnp.float64), Func(f, {}), step_size=0.1,
