@@ -352,21 +352,31 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
 
     def _cams_weight(y0, params, ts, dts):
         """Stage-checkpoint weight: 1 + ceil(aux units / state units).
-        Memoized per closure (depends on static shapes only): _cams_plan is
-        consulted by solve_fwd, the executor choice, and both scan
-        executors within one gradient trace, and each consultation would
-        otherwise re-run prepare()'s Jacobian assembly."""
-        if "w" not in _cams_w_memo:
+        Memoized per closure AND per input shape (keyed on y0/params leaf
+        shapes: a retrace with a different batch size must not reuse a
+        stale weight, or the CAMS plan mis-counts memory against
+        -ts_trajectory_max_cps_ram): _cams_plan is consulted by solve_fwd,
+        the executor choice, and both scan executors within one gradient
+        trace, and each consultation would otherwise re-run prepare()'s
+        Jacobian assembly."""
+        key = (
+            tuple(y0.shape), str(y0.dtype),
+            tuple(
+                (tuple(p.shape), str(p.dtype))
+                for p in jax.tree_util.tree_leaves(params)
+            ),
+        )
+        if key not in _cams_w_memo:
             stp = _prepare(y0, params, ts, dts)
             aux_shape = _aux_struct(stp, y0, params, ts, dts)
             aux_sz = sum(
                 int(np.prod(a.shape))
                 for a in jax.tree_util.tree_leaves(aux_shape)
             )
-            _cams_w_memo["w"] = 1 + max(
+            _cams_w_memo[key] = 1 + max(
                 1, math.ceil(aux_sz / max(1, y0.size))
             )
-        return _cams_w_memo["w"]
+        return _cams_w_memo[key]
 
     def _cams_plan(y0, params, ts, dts):
         from . import cams as cm
@@ -677,30 +687,7 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
 
         stp = _prepare(y0, params, ts, dts)
         c = max(1, int(traj.max_cps))
-        plan = rv.revolve_plan(n_steps, c)
-
-        # compile the plan: node-id stores -> slots, ADVANCE -> unit steps
-        actions = []
-        slot_of = {0: 0}
-        free = list(range(1, c + 2))
-        cursor_node = 0
-        for op, k in plan:
-            if op == rv.RESTORE:
-                actions.append((0, slot_of[k], 0))
-                cursor_node = k
-            elif op == rv.ADVANCE:
-                for j in range(cursor_node, k):
-                    actions.append((1, 0, j))
-                cursor_node = k
-            elif op == rv.STORE:
-                s = free.pop(0)
-                slot_of[k] = s
-                actions.append((2, s, 0))
-            elif op == rv.REVERSE:
-                actions.append((3, 0, k))
-            elif op == rv.DROP:
-                free.insert(0, slot_of.pop(k))
-        acts = jnp.asarray(np.asarray(actions, np.int32))
+        acts = jnp.asarray(rv.compile_actions(n_steps, c))
 
         buf0 = jnp.zeros((c + 2,) + y0.shape, y0.dtype).at[0].set(y0)
 

@@ -122,6 +122,39 @@ def revolve_plan(n: int, c: int) -> List[Tuple[int, int]]:
     return out
 
 
+def compile_actions(n: int, c: int):
+    """Compile the (n, c) revolve plan to a unit-action table for the
+    scanned executor: rows (op, slot, k) with op 0=restore-slot,
+    1=advance-one-step-k, 2=store-to-slot, 3=reverse-step-k, over a
+    fixed (c+2)-slot checkpoint buffer (slot 0 pins the initial state).
+    Shared by the fixed-grid executor (adjoint._revolve_bwd_scan) and the
+    adaptive-path executor (adaptive trial-step axis)."""
+    import numpy as np
+
+    plan = revolve_plan(n, max(1, c))
+    actions = []
+    slot_of = {0: 0}
+    free = list(range(1, max(1, c) + 2))
+    cursor_node = 0
+    for op, k in plan:
+        if op == RESTORE:
+            actions.append((0, slot_of[k], 0))
+            cursor_node = k
+        elif op == ADVANCE:
+            for j in range(cursor_node, k):
+                actions.append((1, 0, j))
+            cursor_node = k
+        elif op == STORE:
+            s = free.pop(0)
+            slot_of[k] = s
+            actions.append((2, s, 0))
+        elif op == REVERSE:
+            actions.append((3, 0, k))
+        elif op == DROP:
+            free.insert(0, slot_of.pop(k))
+    return np.asarray(actions, np.int32).reshape(-1, 3)
+
+
 def validate_plan(plan, n: int, c: int) -> dict:
     """Simulate the plan; raise on inconsistency. Returns cost/slot stats."""
     stored = {0}

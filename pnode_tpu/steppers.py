@@ -370,6 +370,33 @@ class Theta:
         )
         return y1, y1, stats  # aux = converged stage (the new state)
 
+    def step_embedded(self, t, dt, y, params):
+        """Step + embedded local-error estimate for the adaptive controller.
+
+        Theta methods have no classical embedded pair; the standard device
+        (PETSc's TSTHETA with -ts_adapt_type basic uses the same order-1
+        comparison) is the trapezoid-vs-implicit-Euler difference evaluated
+        at the SAME converged stage z:
+
+            err = dt/2 * (f(t, y) - f(t+dt, z))  ~  -(dt^2/2) y'' + O(dt^3)
+
+        an O(dt^2)-accurate local-error proxy for both BE (theta=1) and CN
+        (theta=1/2) at the cost of two extra dynamics evaluations and no
+        extra Newton solve."""
+        y1, aux, stats = self.step(t, dt, y, params)
+        f_n = self.f(t, y, params)
+        f_1 = self.f(t + dt, y1, params)
+        err = (0.5 * dt) * (f_n - f_1)
+        if self.mass is not None:
+            # DAE: only differential rows carry a meaningful truncation
+            # error; mask the algebraic (zero) mass rows out of the norm
+            diff_rows = jnp.diag(self.mass) != 0.0
+            err = jnp.where(
+                jnp.broadcast_to(diff_rows, err.shape), err,
+                jnp.zeros_like(err),
+            )
+        return y1, err, aux, stats
+
     def step_adj(self, t, dt, y, params, aux, lam):
         th = self.theta
         t1 = t + dt

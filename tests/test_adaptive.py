@@ -254,3 +254,139 @@ def test_adaptive_fused_path_matches_generic():
                     jax.tree_util.tree_leaves(g_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-6)
+
+
+# -- trajectory policies on the adaptive path (round-3: PETSc TSTrajectory
+#    applies to adaptive runs too, /root/reference/README.md:91-100) --------
+
+def _adaptive_grads(flags, method="cn", implicit=True, n_t=3):
+    """grad of sum(sol[-1]^2) wrt (params, y0) under the given flag tail."""
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["p", "-ts_adapt_type", "basic", "-ts_rtol", "1e-7",
+                    "-ts_atol", "1e-7"] + flags)
+    t = jnp.linspace(0.0, 1.0, n_t)
+    ode = ODESolver()
+    ode.setupTS(Y0, Func(f_decay, P), step_size=0.05, method=method,
+                implicit_form=implicit, enable_adjoint=True)
+
+    def loss(p, y0):
+        sol, _ = ode.solve(y0, t, params=p, with_adjoint=True)
+        return jnp.sum(sol ** 2)
+
+    return jax.grad(loss, argnums=(0, 1))(P, Y0)
+
+
+@pytest.mark.parametrize("flags", [
+    ["-ts_trajectory_solution_only", "1"],
+    ["-ts_trajectory_max_cps_ram", "4"],
+    ["-ts_trajectory_max_cps_ram", "4", "-ts_trajectory_schedule", "revolve"],
+    ["-ts_trajectory_max_cps_ram", "4", "-ts_trajectory_schedule", "cams"],
+], ids=["solution_only", "checkpoint", "revolve", "cams"])
+@pytest.mark.parametrize("method,implicit", [("cn", True), ("dopri5", False)])
+def test_adaptive_policy_gradients_match_store_all(flags, method, implicit):
+    """-ts_adapt_type basic + every trajectory policy produces gradients
+    identical (1e-10) to the store-all record, on CN and explicit RK."""
+    gp_ref, gy_ref = _adaptive_grads([], method=method, implicit=implicit)
+    gp, gy = _adaptive_grads(flags, method=method, implicit=implicit)
+    for k in gp_ref:
+        np.testing.assert_allclose(gp[k], gp_ref[k], rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(gy, gy_ref, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("sched", ["uniform", "revolve", "cams"])
+def test_adaptive_policy_gradients_match_store_all_ark(sched):
+    """Same policy-invariance assertion on the ARK IMEX family."""
+    def f_im(t, y, p):
+        return p["a"] * y
+
+    def f_ex(t, y, p):
+        return p["b"] * y**2
+
+    params = ({"a": jnp.array(-3.0)}, {"b": jnp.array(0.1)})
+    t = jnp.asarray([0.0, 1.0])
+
+    def grads(flags):
+        pnode_tpu.clear_options()
+        pnode_tpu.init(["p", "-ts_adapt_type", "basic", "-ts_rtol", "1e-7",
+                        "-ts_atol", "1e-7"] + flags)
+        ode = ODESolver()
+        ode.setupTS(Y0, Func(f_im, params[0]), step_size=0.1, method="imex",
+                    imex_form=True, implicit_form=True,
+                    func2=Func(f_ex, params[1]), enable_adjoint=True)
+
+        def loss(p, y0):
+            sol, _ = ode.solve(y0, t, params=p, with_adjoint=True)
+            return jnp.sum(sol[-1] ** 2)
+
+        return jax.grad(loss, argnums=(0, 1))(params, Y0)
+
+    (gpi_ref, gpe_ref), gy_ref = grads([])
+    flags = ["-ts_trajectory_max_cps_ram", "4"]
+    if sched != "uniform":
+        flags += ["-ts_trajectory_schedule", sched]
+    (gpi, gpe), gy = grads(flags)
+    np.testing.assert_allclose(gpi["a"], gpi_ref["a"], rtol=1e-10)
+    np.testing.assert_allclose(gpe["b"], gpe_ref["b"], rtol=1e-10)
+    np.testing.assert_allclose(gy, gy_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_adaptive_policy_trajectory_memory_shapes():
+    """The per-trial-step record is SCALAR (O(max_steps)); states appear
+    only in the policy's bounded checkpoint buffers: peak trajectory
+    memory O(c) for revolve, O(c + max_steps/c) for uniform segments —
+    never O(max_steps * state)."""
+    from pnode_tpu.adaptive import AdaptConfig, make_adaptive_odeint
+    from pnode_tpu.adjoint import TrajectoryConfig
+    from pnode_tpu.steppers import ExplicitRK
+    from pnode_tpu.tableaus import get_rk_tableau
+
+    stepper = ExplicitRK(get_rk_tableau("dopri5"),
+                         lambda t, y, p: p["a"] * y)
+    cfg = AdaptConfig(rtol=1e-6, atol=1e-6, max_steps=256)
+    params = {"a": jnp.array(-0.5)}
+    y0 = jnp.ones((8, 4))
+    state_sz = y0.size
+
+    def rec_state_elems(traj):
+        solve = make_adaptive_odeint(stepper, np.array([0.0, 1.0]), cfg,
+                                     0.05, with_adjoint=True, traj=traj)
+        out = jax.eval_shape(solve.forward_for_test, y0, params)
+        _, _, recs, bufs = out
+        rec_elems = sum(int(np.prod(l.shape))
+                        for l in jax.tree_util.tree_leaves(recs))
+        buf_elems = sum(int(np.prod(l.shape))
+                        for l in jax.tree_util.tree_leaves(bufs))
+        return rec_elems, buf_elems
+
+    # store_all: O(max_steps * state * stages) — the baseline
+    rec_sa, _ = rec_state_elems(TrajectoryConfig(kind="store_all"))
+    assert rec_sa >= 256 * state_sz
+
+    # revolve: scalar record only, nothing stored forward
+    rec_rv, buf_rv = rec_state_elems(
+        TrajectoryConfig(kind="revolve", max_cps=4))
+    assert rec_rv == 4 * 256  # (t, dt, accept, out_slot) scalars
+    assert buf_rv == 0
+
+    # uniform checkpoints: scalar record + c segment-start states
+    rec_cp, buf_cp = rec_state_elems(
+        TrajectoryConfig(kind="checkpoint", max_cps=4))
+    assert rec_cp == 4 * 256
+    assert buf_cp == 4 * state_sz
+
+    # cams: scalar record + bounded solution/stage buffers
+    rec_cm, buf_cm = rec_state_elems(TrajectoryConfig(kind="cams", max_cps=4))
+    assert rec_cm == 4 * 256
+    assert buf_cm <= (4 + 2) * state_sz * (1 + stepper.tab.stages)
+
+
+def test_adaptive_policies_via_solver_flags_disk(tmp_path):
+    """-ts_trajectory_type disk on the CPU backend streams the adaptive
+    trial trajectory to a host memmap and reproduces store-all gradients."""
+    gp_ref, gy_ref = _adaptive_grads([])
+    gp, gy = _adaptive_grads(
+        ["-ts_trajectory_type", "disk", "-ts_trajectory_dirname",
+         str(tmp_path)])
+    for k in gp_ref:
+        np.testing.assert_allclose(gp[k], gp_ref[k], rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(gy, gy_ref, rtol=1e-10, atol=1e-12)
