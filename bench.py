@@ -119,7 +119,6 @@ def bench_sinode(args, nx, batch, dt, metric):
 
     inner = max(1, int(args.inner_steps))
 
-    @jax.jit
     def train_steps(p, opt_state, y0, target):
         """`inner` full training steps per dispatch (lax.scan): the
         tunneled chip pays ~per-dispatch host latency, so the headline
@@ -142,10 +141,22 @@ def bench_sinode(args, nx, batch, dt, metric):
     target = y0 + 0.05 * jax.random.normal(k2, (batch, nx), dtype)
     opt_state = opt.init(params)
 
+    # AOT compile: exact compile-time measurement (warm runs hit the
+    # persistent compilation cache enabled in pnode_tpu.init) + the
+    # compiled program's own cost analysis for the roofline fields
+    t0 = time.time()
+    lowered = jax.jit(train_steps).lower(params, opt_state, y0, target)
+    trace_s = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    compile_s = time.time() - t0
+    print(f"trace: {trace_s:.1f}s  compile: {compile_s:.1f}s",
+          file=sys.stderr)
+
     state = {"p": params, "s": opt_state}
 
     def step():
-        state["p"], state["s"], loss = train_steps(
+        state["p"], state["s"], loss = compiled(
             state["p"], state["s"], y0, target
         )
         return loss
@@ -154,13 +165,32 @@ def bench_sinode(args, nx, batch, dt, metric):
 
     t0 = time.time()
     _j.block_until_ready(step())
-    print(f"compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"first step: {time.time()-t0:.1f}s", file=sys.stderr)
     for _ in range(2):
         step()
     _j.block_until_ready(step())
 
     med, best = _windows(step, n_steps, args.windows, _j.block_until_ready)
-    return med * inner, best * inner
+    info = {"compile_s": round(trace_s + compile_s, 1), "compiled": compiled,
+            "work_per_program": inner, "extra_flops": 0.0, "extra_bytes": 0.0}
+    # the fused Pallas step kernels are XLA custom calls invisible to
+    # cost_analysis(); add their analytic per-train-step cost (one fused
+    # forward + one fused reverse per step at this 1-solver-step config)
+    stepper = ode._stepper
+    spec_fn = getattr(stepper, "fused_ex_spec", None)
+    if use_pallas and spec_fn is not None:
+        spec = spec_fn(vex)
+        if spec is not None:
+            from pnode_tpu.ops.fused_ark_adjoint import fused_ark_adj_cost
+            from pnode_tpu.ops.fused_ark_forward import fused_ark_fwd_cost
+
+            tab = (stepper._aI, stepper._aE, stepper._bI, stepper._bE)
+            dims = [int(w.shape[1]) for w in spec["Ws"]]
+            ffl, fby = fused_ark_fwd_cost(tab, batch, nx, dims)
+            afl, aby = fused_ark_adj_cost(tab, batch, nx, dims)
+            info["extra_flops"] = float(ffl + afl)
+            info["extra_bytes"] = float(fby + aby)
+    return med * inner, best * inner, info
 
 
 def bench_cifar(args):
@@ -184,7 +214,6 @@ def bench_cifar(args):
     opt = optax.sgd(0.1, momentum=0.9)
     opt_state = opt.init(params)
 
-    @jax.jit
     def train_step(p, s, xb, yb):
         def loss_fn(pp):
             logits = model.apply(pp, xb, training=True)
@@ -195,15 +224,20 @@ def bench_cifar(args):
         up, s = opt.update(g, s, p)
         return optax.apply_updates(p, up), s, loss
 
+    t0 = time.time()
+    compiled = jax.jit(train_step).lower(params, opt_state, x, y).compile()
+    compile_s = time.time() - t0
+    print(f"trace+compile: {compile_s:.1f}s", file=sys.stderr)
+
     state = {"p": params, "s": opt_state}
 
     def step():
-        state["p"], state["s"], loss = train_step(state["p"], state["s"], x, y)
+        state["p"], state["s"], loss = compiled(state["p"], state["s"], x, y)
         return loss
 
     t0 = time.time()
     jax.block_until_ready(step())
-    print(f"compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"first step: {time.time()-t0:.1f}s", file=sys.stderr)
     jax.block_until_ready(step())
 
     n_steps = 20 if args.quick else args.steps
@@ -215,7 +249,9 @@ def bench_cifar(args):
         f"= {epoch_s:.1f}s (best-window {iters_per_epoch / best:.1f}s)",
         file=sys.stderr,
     )
-    return med, best, epoch_s
+    info = {"compile_s": round(compile_s, 1), "compiled": compiled,
+            "work_per_program": 1}
+    return med, best, epoch_s, info
 
 
 def main():
@@ -241,28 +277,31 @@ def main():
     print(f"benchmark device: {jax.devices()[0]}", file=sys.stderr)
 
     if args.workload == "ks":
-        med, best = bench_sinode(
+        med, best, info = bench_sinode(
             args, nx=64, batch=256, dt=0.2,
             metric="ks_sinode_train_steps_per_sec_b256_nx64_imex",
         )
         metric = "ks_sinode_train_steps_per_sec_b256_nx64_imex"
         value = best  # comparable with rounds 1+ (best-of-window convention)
+        rate_for_roofline = best
         unit = "steps/s"
     elif args.workload == "burgers":
-        med, best = bench_sinode(
+        med, best, info = bench_sinode(
             args, nx=512, batch=200, dt=1e-3,
             metric="burgers_sinode_train_steps_per_sec_b200_nx512_imex",
         )
         metric = "burgers_sinode_train_steps_per_sec_b200_nx512_imex"
         value = med
+        rate_for_roofline = med
         unit = "steps/s"
     else:
-        med, best, epoch_s = bench_cifar(args)
+        med, best, epoch_s, info = bench_cifar(args)
         metric = (
             f"cifar10_odenet_epoch_seconds_b128_nt{args.cifar_nt}_"
             f"{args.cifar_method}"
         )
         value = epoch_s
+        rate_for_roofline = med  # iterations/s
         unit = "s/epoch"
 
     vs_baseline = 1.0
@@ -290,16 +329,34 @@ def main():
                 except Exception:
                     pass
 
+    # roofline accounting: MFU / HBM-bandwidth fraction from the compiled
+    # program's cost analysis — "fast vs physics", not just vs last round
+    from pnode_tpu.utils.roofline import roofline
+
+    rf = roofline(info["compiled"], rate_for_roofline,
+                  work_per_program=info["work_per_program"],
+                  extra_flops_per_unit=info.get("extra_flops", 0.0),
+                  extra_bytes_per_unit=info.get("extra_bytes", 0.0))
+    rec = {
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": unit,
+        "vs_baseline": round(vs_baseline, 3),
+        "mfu": None if rf["mfu"] is None else round(rf["mfu"], 4),
+        "hbm_frac": (None if rf["hbm_frac"] is None
+                     else round(rf["hbm_frac"], 4)),
+        "flops_per_step": round(rf["flops_per_unit"], 1),
+        "hbm_bytes_per_step": round(rf["hbm_bytes_per_unit"], 1),
+        "compile_s": info["compile_s"],
+    }
     print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 3),
-                "unit": unit,
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
+        f"roofline: mfu={rec['mfu']} hbm_frac={rec['hbm_frac']} "
+        f"flops/step={rec['flops_per_step']:.3g} "
+        f"bytes/step={rec['hbm_bytes_per_step']:.3g} "
+        f"compile={rec['compile_s']}s",
+        file=sys.stderr,
     )
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

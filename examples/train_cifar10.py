@@ -203,18 +203,32 @@ def main():
         # device memory telemetry (the reference's nvidia-smi / cuda
         # max_memory_allocated equivalents, train-Cifar10.py:277-295)
         mem_gb = 0.0
+        mem_src = "peak"
         stats = jax.local_devices()[0].memory_stats() or {}
         if "peak_bytes_in_use" in stats:
             mem_gb = stats["peak_bytes_in_use"] / 1e9
+        else:
+            # plugins without memory_stats (the tunneled axon backend):
+            # fall back to live-buffer accounting — the sum of all device
+            # arrays currently alive. A lower bound (no allocator peaks /
+            # scratch), labeled "live" in memstat.txt so the column is
+            # honest about its source.
+            mem_src = "live"
+            mem_gb = sum(
+                a.size * a.dtype.itemsize
+                for a in jax.live_arrays()
+            ) / 1e9
         print(
             f"Epoch {epoch:03d} | {epoch_time:.1f}s | "
             f"Loss {loss_meter.avg:.4f} | Train acc {np.mean(accs):.4f} | "
-            f"Test acc {np.mean(te_accs):.4f} | Mem {mem_gb:.2f}GB"
+            f"Test acc {np.mean(te_accs):.4f} | Mem {mem_gb:.2f}GB "
+            f"({mem_src})"
         )
         # memstat benchmark record (train-Cifar10.py:415-433)
         with open(os.path.join(args.train_dir, "memstat.txt"), "a") as f:
             f.write(
-                f"{args.Nt} {mem_gb:.3f} {epoch_time:.2f} {args.method}\n"
+                f"{args.Nt} {mem_gb:.3f} {epoch_time:.2f} {args.method} "
+                f"{mem_src}\n"
             )
     return float(np.mean(te_accs)) if len(te_accs) else 0.0
 

@@ -182,6 +182,31 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign,
             db_ref[:] = (db_ref[:] + db).astype(db_ref.dtype)
 
 
+def fused_ark_adj_cost(tableau_static, B, d, layer_dims):
+    """Analytic (flops, hbm_bytes) per fused reverse-step call at LOGICAL
+    sizes (see fused_ark_fwd_cost — Pallas custom calls report zero cost to
+    XLA's analysis, so benchmarks add this).
+
+    Per active stage: J^T apply (2Bd^2), MLP recompute + backprop
+    (forward dots + dW outer products + g@W^T: ~3x the forward MLP dots),
+    transposed inverse apply (2Bd^2). HBM: operators + weights read once,
+    stage values (s,B,d) + lam in, lam_prev + weight grads out.
+    """
+    aI, _, bI, _ = tableau_static
+    s = len(bI)
+    dims = [d] + list(layer_dims)
+    mlp = sum(2 * B * a * b for a, b in zip(dims, dims[1:]))
+    flops = 0
+    for i in range(s):
+        flops += 2 * B * d * d          # u @ J^T
+        flops += 3 * mlp                # MLP recompute + dW + g backprop
+        if aI[i][i] != 0.0:
+            flops += 2 * B * d * d      # p @ inv^T
+    w_elems = sum(a * b + b for a, b in zip(dims, dims[1:]))
+    byts = 4 * (2 * d * d + 2 * w_elems + B * d * (s + 2))
+    return flops, byts
+
+
 def fused_ark_step_adj(
     tableau_static,
     dt,

@@ -117,6 +117,31 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, dI, dE, sign,
         err_ref[:] = err.astype(err_ref.dtype)
 
 
+def fused_ark_fwd_cost(tableau_static, B, d, layer_dims):
+    """Analytic (flops, hbm_bytes) per fused forward-step call, counting the
+    MXU dots at LOGICAL (unpadded) sizes — the useful-work convention for
+    MFU. Pallas kernels surface as XLA custom calls that report zero cost,
+    so benchmarks add this to ``compiled.cost_analysis()`` totals.
+
+    Per stage: residual dot + inverse apply (implicit stages, 2*2Bd^2),
+    kI = J apply (2Bd^2), kE = MLP (sum_l 2*B*w_l*w_{l+1}). HBM traffic:
+    operators/weights read once per call (VMEM-resident across the batch
+    grid), y in, y1 + s stage values out.
+    """
+    aI, _, bI, _ = tableau_static
+    s = len(bI)
+    dims = [d] + list(layer_dims)
+    mlp = sum(2 * B * a * b for a, b in zip(dims, dims[1:]))
+    flops = 0
+    for i in range(s):
+        if aI[i][i] != 0.0:
+            flops += 2 * (2 * B * d * d)
+        flops += 2 * B * d * d + mlp
+    w_elems = sum(a * b + b for a, b in zip(dims, dims[1:]))
+    byts = 4 * (2 * d * d + w_elems + B * d * (2 + s))
+    return flops, byts
+
+
 def fused_ark_step_fwd(
     tableau_static,
     dt,

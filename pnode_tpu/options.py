@@ -233,6 +233,19 @@ def init(argv: Optional[List[str]] = None) -> List[str]:
     rest = _db.parse_argv(list(argv[1:]))
     if _db.has("options_left") or _db.has("help"):
         _install_exit_hooks()
+    # persistent XLA compilation cache (compile time is a first-class TPU
+    # cost: the round-2 headline config paid 480 s per cold start). On by
+    # default for every driver that calls init(); disable with
+    # -pnode_compilation_cache 0. Registered so -help lists it.
+    if _db.get_int("pnode_compilation_cache", 1):
+        try:
+            from .utils.roofline import enable_compilation_cache
+
+            enable_compilation_cache(
+                _db.get_string("pnode_compilation_cache_dir", None)
+            )
+        except Exception:  # cache is an optimization, never a hard failure
+            pass
     return rest
 
 

@@ -32,10 +32,40 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("dp",),
     devices=None,
+    mesh_shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """1-D (or reshaped) mesh over available devices; default all of them."""
+    """Device mesh over available devices; default all of them on one axis.
+
+    Multi-axis meshes (SURVEY.md section 5.8: "ICI within pod-slice, DCN
+    across hosts"): pass ``mesh_shape`` with matching ``axis_names``, e.g.
+    ``make_mesh(mesh_shape=(2, 4), axis_names=("dcn", "dp"))`` — the device
+    assignment comes from ``mesh_utils.create_device_mesh`` so the inner
+    axis rides the faster interconnect on real hardware.
+    """
     if devices is None:
         devices = jax.devices()
+    if mesh_shape is not None:
+        mesh_shape = tuple(int(s) for s in mesh_shape)
+        if len(mesh_shape) != len(axis_names):
+            raise ValueError(
+                f"mesh_shape {mesh_shape} must match axis_names {axis_names}"
+            )
+        need = int(np.prod(mesh_shape))
+        if len(devices) < need:
+            raise ValueError(
+                f"mesh_shape {mesh_shape} needs {need} devices but only "
+                f"{len(devices)} available"
+            )
+        from jax.experimental import mesh_utils
+
+        try:
+            arr = mesh_utils.create_device_mesh(
+                mesh_shape, devices=devices[:need]
+            )
+        except Exception:
+            # virtual/CPU device sets without topology info: plain reshape
+            arr = np.array(devices[:need]).reshape(mesh_shape)
+        return Mesh(arr, axis_names)
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(
@@ -46,13 +76,18 @@ def make_mesh(
         devices = devices[:n_devices]
     arr = np.array(devices)
     if len(axis_names) > 1:
-        # split evenly: leading axis gets all devices unless reshaped upstream
-        raise ValueError("pass a pre-shaped device array for multi-axis meshes")
+        raise ValueError(
+            "multi-axis meshes need mesh_shape=(...) matching axis_names"
+        )
     return Mesh(arr, axis_names)
 
 
-def shard_batch(x, mesh: Mesh, axis: str = "dp"):
-    """Place array(s) with the leading (batch) dim sharded over ``axis``."""
+def shard_batch(x, mesh: Mesh, axis="dp"):
+    """Place array(s) with the leading (batch) dim sharded over ``axis``.
+
+    ``axis`` may be a single mesh-axis name or a tuple of names (the batch
+    is then sharded over their product — hierarchical DP: DCN-outer,
+    ICI-inner)."""
 
     def _shard(a):
         spec = P(axis, *([None] * (a.ndim - 1)))
@@ -73,24 +108,30 @@ def replicate(x, mesh: Mesh):
 def dp_value_and_grad(
     loss_fn: Callable,
     mesh: Mesh,
-    axis: str = "dp",
+    axis="dp",
 ):
     """Data-parallel value_and_grad: loss_fn(params, batch) -> scalar mean.
 
     Returns fn(params, sharded_batch) -> (loss, grads) where the loss/grad
     are global batch means. The solve runs per-device on the local shard
-    (no collectives inside); one pmean pair at the end.
+    (no collectives inside); one pmean pair at the end. ``axis`` may be a
+    tuple of mesh-axis names for hierarchical DP over a multi-axis
+    (DCN x ICI) mesh — the pmean then reduces over the product of axes.
     """
 
     local_vg = jax.value_and_grad(loss_fn)
+    red_axes = axis if isinstance(axis, (tuple, list)) else (axis,)
+    red_axes = tuple(red_axes)
 
     def _local(params, batch):
         loss, grads = local_vg(params, batch)
-        loss = lax.pmean(loss, axis)
-        grads = jax.tree_util.tree_map(lambda g: lax.pmean(g, axis), grads)
+        loss = lax.pmean(loss, red_axes)
+        grads = jax.tree_util.tree_map(
+            lambda g: lax.pmean(g, red_axes), grads
+        )
         return loss, grads
 
-    batch_spec = P(axis)
+    batch_spec = P(tuple(axis) if isinstance(axis, (tuple, list)) else axis)
 
     def wrapped(params, batch):
         in_specs = (

@@ -54,3 +54,47 @@ def test_graft_dryrun_multichip():
 def test_make_mesh_rejects_overallocation():
     with pytest.raises(ValueError, match="available"):
         make_mesh(10_000)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_multi_axis_mesh_matches_single_device():
+    """Hierarchical DP over a 2x4 ("dcn", "dp") mesh (SURVEY.md section
+    5.8: ICI within pod-slice, DCN across hosts) bit-matches the
+    single-device gradient."""
+    B, D = 16, 8
+    P = {"w": jnp.asarray(np.random.default_rng(0).normal(size=(D, D)) * 0.1)}
+
+    def f(t, y, p):
+        return jnp.tanh(y @ p["w"])
+
+    ode = ODESolver()
+    ode.setupTS(jnp.zeros((B // 8, D)), Func(f, P), step_size=0.1,
+                method="rk4")
+    t = jnp.asarray([0.0, 0.5])
+
+    def loss_fn(p, batch):
+        y0, tgt = batch
+        pred, _ = ode.solve(y0, t, params=p)
+        return jnp.mean((pred[-1] - tgt) ** 2)
+
+    rng = np.random.default_rng(1)
+    y0 = jnp.asarray(rng.normal(size=(B, D)))
+    batch = (y0, 0.9 * y0)
+
+    mesh = make_mesh(mesh_shape=(2, 4), axis_names=("dcn", "dp"))
+    assert mesh.devices.shape == (2, 4)
+    axis = ("dcn", "dp")
+    vg = dp_value_and_grad(loss_fn, mesh, axis=axis)
+    loss_dp, g_dp = jax.jit(vg)(
+        replicate(P, mesh), shard_batch(batch, mesh, axis=axis)
+    )
+    loss_1, g_1 = jax.value_and_grad(loss_fn)(P, batch)
+    np.testing.assert_allclose(float(loss_dp), float(loss_1), rtol=1e-12)
+    np.testing.assert_allclose(g_dp["w"], g_1["w"], rtol=1e-10)
+
+
+def test_make_mesh_shape_validation():
+    with pytest.raises(ValueError, match="match axis_names"):
+        make_mesh(mesh_shape=(2, 4), axis_names=("dp",))
+    with pytest.raises(ValueError, match="needs"):
+        make_mesh(mesh_shape=(100, 100), axis_names=("a", "b"))
