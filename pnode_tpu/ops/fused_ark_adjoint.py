@@ -55,6 +55,35 @@ from .fused_mlp import _ACTS, _pad2, _round_up
 VMEM_RESIDENT_BUDGET = 12 * 2**20
 
 
+def stiff_dot_precision():
+    """Precision for the STIFF operator dots (J apply, inverse apply) in
+    the fused step kernels, from ``-pnode_fused_ark_precision``:
+
+    - "highest" (default): fp32-exact 6-pass emulation — the round-2
+      hardware fix (bf16 single-pass silently broke KS training).
+    - "high": bf16_3x 3-pass (~2^-21 error vs fp32's 2^-24) — recovers
+      part of the HIGHEST throughput cost; only use after
+      tools/hardware_smoke.py passes AND the training trajectory
+      reproduces on the chip.
+    - "default": single-pass bf16 — known WRONG for stiff operators on
+      real hardware; exposed for measurement only.
+
+    Read at trace time (static for the compiled program)."""
+    from ..options import Options
+
+    name = Options().get_string("pnode_fused_ark_precision", "highest")
+    table = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }
+    if name not in table:
+        raise ValueError(
+            f"-pnode_fused_ark_precision {name!r}: use highest|high|default"
+        )
+    return table[name]
+
+
 def fused_ark_fits(d: int, layer_dims: Sequence[int],
                    with_grad_accumulators: bool = True) -> bool:
     """True when the resident set fits the scoped-VMEM budget.
@@ -73,7 +102,7 @@ def fused_ark_fits(d: int, layer_dims: Sequence[int],
     return mult * weights + 2 * 4 * P * P <= VMEM_RESIDENT_BUDGET
 
 
-def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign,
+def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
             dt_ref, ys_ref, lam_ref, jt_ref, invt_ref, *refs):
     """refs = [W1, b1, ..., Wn, bn, lam_prev_ref, dW1, db1, ..., dWn, dbn].
 
@@ -117,9 +146,9 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign,
 
         p = None
         if u is not None:
-            # HIGHEST: stiff operator transpose (see fused_ark_forward)
+            # raised precision: stiff operator transpose (fused_ark_forward)
             p = jnp.dot(u, jt, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=stiff_prec)
         if uh is not None:
             # MLP VJP at Y_i with covector sign * uh:
             # recompute forward storing layer inputs, then backprop
@@ -154,7 +183,7 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign,
 
         if aI[i][i] != 0.0:
             xi = jnp.dot(p, invt, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=stiff_prec)
         else:
             xi = p
         xis[i] = xi
@@ -293,6 +322,7 @@ def fused_ark_step_adj(
         tuple(float(x) for x in bI),
         tuple(float(x) for x in bE),
         float(sign),
+        stiff_dot_precision(),
     )
     outs = pl.pallas_call(
         kern,

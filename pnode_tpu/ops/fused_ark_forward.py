@@ -44,10 +44,10 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from .fused_mlp import _ACTS, _pad2, _round_up
-from .fused_ark_adjoint import fused_ark_fits
+from .fused_ark_adjoint import fused_ark_fits, stiff_dot_precision
 
 
-def _kernel(s, n_layers, act_name, aI, aE, bI, bE, dI, dE, sign,
+def _kernel(s, n_layers, act_name, aI, aE, bI, bE, dI, dE, sign, stiff_prec,
             dt_ref, y_ref, jf_ref, invf_ref, *refs):
     """refs = [W1, b1, ..., Wn, bn, y1_ref, ys_ref[, err_ref]].
 
@@ -86,22 +86,24 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, dI, dE, sign,
             if aE[i][j] != 0.0:
                 G = G + (dt * aE[i][j]) * kE[j]
         if aI[i][i] != 0.0:
-            # HIGHEST precision: these operators are STIFF (||J|| ~ 1/dx^4
+            # raised precision: these operators are STIFF (||J|| ~ 1/dx^4
             # for the PDE stencils); the TPU's default single-pass bf16 dot
             # loses ~0.4% per apply, which compounds across stages into an
             # O(1)-wrong step (found on hardware: KS training plateaued
-            # while every CPU test passed — CPU dots are exact fp32)
+            # while every CPU test passed — CPU dots are exact fp32).
+            # stiff_prec defaults to HIGHEST (fp32, 6-pass); see
+            # stiff_dot_precision for the -pnode_fused_ark_precision knob.
             r = (-dt * aI[i][i]) * jnp.dot(
                 G, jf, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=stiff_prec,
             )
             Yi = G - jnp.dot(r, invf, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=stiff_prec)
         else:
             Yi = G
         ys_ref[i] = Yi.astype(ys_ref.dtype)
         kI[i] = jnp.dot(Yi, jf, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=stiff_prec)
         kE[i] = sign * mlp(Yi)
         if bI[i] != 0.0:
             y1 = y1 + (dt * bI[i]) * kI[i]
@@ -227,6 +229,7 @@ def fused_ark_step_fwd(
         tuple(float(x) for x in bE),
         dI, dE,
         float(sign),
+        stiff_dot_precision(),
     )
     outs = pl.pallas_call(
         kern,

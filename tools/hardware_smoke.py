@@ -16,9 +16,15 @@ repeatable gate:
    reference at KS-like stiffness (||J|| ~ 400);
 4. gradient cross-check: discrete-adjoint gradient on the chip vs a CPU
    fp64 reference (cosine similarity), when one has been saved.
+5. FFJORD image CNF (tiny ODENVP): a few NLL training steps on the chip
+   must strictly reduce the loss with finite gradients (conv + Hutchinson
+   divergence + multiscale squeeze on real hardware — zero on-chip
+   evidence before round 3).
+6. GRAND (segment-op attention diffusion on a synthetic SBM graph): a few
+   cross-entropy steps must reduce the loss with finite gradients.
 
-Kept to ~4 compiled programs so the whole run fits in <10 min on the
-tunneled chip.
+Kept to ~6 compiled programs so the whole run fits in <12 min on the
+tunneled chip. Gates 5/6 can be skipped with --core for the fast loop.
 
 Exit code 0 = all gates pass. Usage: python tools/hardware_smoke.py
 (on the TPU) / python tools/hardware_smoke.py --cpu (to write the fp64
@@ -189,6 +195,88 @@ def main() -> int:
     else:
         print("no CPU reference gradient found "
               "(run once with JAX_PLATFORMS=cpu); skipping gate 4")
+
+    if "--core" not in sys.argv:
+        import optax
+
+        # -- 5. FFJORD image CNF on the chip ---------------------------------
+        from pnode_tpu.ffjord.odenvp import ODENVP
+
+        pnode_tpu.clear_options()
+        model = ODENVP((8, 8, 1), n_scales=2, n_blocks=1, hidden_dims=(8,),
+                       step_size=0.25)
+        rngnp = np.random.default_rng(7)
+        x_img = jnp.asarray(rngnp.random((16, 8, 8, 1)), jnp.float32) * 0.9 \
+            + 0.05
+        p_img = model.init(jax.random.PRNGKey(3), x_img)
+        opt = optax.adam(1e-3)
+        s_img = opt.init(p_img)
+
+        @jax.jit
+        def img_step(p, s, key):
+            def nll(pp):
+                lp, _ = model.log_prob(pp, x_img, key=key)
+                return -jnp.mean(lp)
+
+            loss, g = jax.value_and_grad(nll)(p)
+            up, s = opt.update(g, s)
+            return optax.apply_updates(p, up), s, loss, g
+
+        losses = []
+        finite = True
+        for i in range(6):
+            p_img, s_img, lv, g = img_step(p_img, s_img,
+                                           jax.random.PRNGKey(10 + i))
+            losses.append(float(lv))
+            finite = finite and all(
+                bool(jnp.all(jnp.isfinite(a)))
+                for a in jax.tree_util.tree_leaves(g)
+            )
+        gate("FFJORD image CNF trains", finite and losses[-1] < losses[0],
+             f"nll {losses[0]:.3f} -> {losses[-1]:.3f}, grads finite={finite}")
+
+        # -- 6. GRAND on the chip --------------------------------------------
+        from pnode_tpu.models.grand import (
+            GRANDModel, get_rw_adj, synthetic_sbm,
+        )
+
+        pnode_tpu.clear_options()
+        data = synthetic_sbm(n_nodes=96, n_classes=3, feat_dim=16, seed=0)
+        graph = get_rw_adj(data["edge_index"], 96)
+        gm = GRANDModel(graph, 16, 16, 3, function="transformer",
+                        block="pnode", T=1.0, step_size=0.25,
+                        method="dopri5", input_dropout=0.0, dropout=0.0)
+        xg = jnp.asarray(data["x"], jnp.float32)
+        yg = jnp.asarray(data["y"])
+        p_g = gm.init(jax.random.PRNGKey(4), xg)
+        optg = optax.adam(5e-3)
+        s_g = optg.init(p_g)
+
+        @jax.jit
+        def grand_step(p, s):
+            def ce(pp):
+                logits = gm.apply(pp, xg, training=False)
+                oh = jax.nn.one_hot(yg, 3)
+                return -jnp.mean(
+                    jnp.sum(oh * jax.nn.log_softmax(logits), -1)
+                )
+
+            loss, g = jax.value_and_grad(ce)(p)
+            up, s = optg.update(g, s)
+            return optax.apply_updates(p, up), s, loss, g
+
+        glosses = []
+        gfinite = True
+        for _ in range(8):
+            p_g, s_g, lv, g = grand_step(p_g, s_g)
+            glosses.append(float(lv))
+            gfinite = gfinite and all(
+                bool(jnp.all(jnp.isfinite(a)))
+                for a in jax.tree_util.tree_leaves(g)
+            )
+        gate("GRAND trains", gfinite and glosses[-1] < glosses[0],
+             f"ce {glosses[0]:.3f} -> {glosses[-1]:.3f}, "
+             f"grads finite={gfinite}")
 
     print("SMOKE", "FAILED: " + ", ".join(failures) if failures else "OK")
     return 1 if failures else 0
