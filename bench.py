@@ -34,13 +34,49 @@ import sys
 import time
 
 
-def _windows(step_fn, n_steps, n_windows, block):
+def _sync(out):
+    """Real synchronization on the tunneled TPU backend.
+
+    MEASURED (round 3): every blocking primitive on this plugin —
+    jax.block_until_ready, Array.block_until_ready, effects_barrier,
+    is_ready — returns immediately WITHOUT waiting for the device (a
+    100x4096^3-matmul chain "blocked" in 0.000 s). The only operation
+    that actually waits for the compute queue is a device->host FETCH.
+    So benchmarks sync by fetching a scalar derived from the output
+    (~74 ms overhead once the fetch channel is warm; the FIRST fetch in
+    a process pays a 30-400 s channel bring-up — see _warm_fetch_channel).
+    All round-1/2 window timings used block_until_ready and are therefore
+    invalid; every number must be re-measured through this sync.
+    """
+    import jax.numpy as jnp
+
+    leaves = [out] if not isinstance(out, (tuple, list)) else list(out)
+    return float(jnp.sum(leaves[0]).astype(jnp.float32))
+
+
+def _warm_fetch_channel():
+    """Pay the one-time device->host channel bring-up before timing."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    _ = float(jnp.zeros((), jnp.float32) + 1.0)
+    dt = time.time() - t0
+    print(f"fetch-channel warmup: {dt:.1f}s", file=sys.stderr)
+    # a second fetch gives the steady-state sync overhead
+    t0 = time.time()
+    _ = float(jnp.zeros((), jnp.float32) + 2.0)
+    print(f"steady-state fetch: {time.time() - t0:.3f}s", file=sys.stderr)
+    del jax
+
+
+def _windows(step_fn, n_steps, n_windows):
     rates = []
     for rep in range(n_windows):
         t0 = time.time()
         for _ in range(n_steps):
             out = step_fn()
-        block(out)
+        _sync(out)
         dt_wall = time.time() - t0
         rates.append(n_steps / dt_wall)
         print(
@@ -61,6 +97,7 @@ def bench_sinode(args, nx, batch, dt, metric):
     """KS/Burgers SINODE training throughput (shared harness)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
     import optax
 
     import pnode_tpu
@@ -107,7 +144,8 @@ def bench_sinode(args, nx, batch, dt, metric):
         batch_size=batch,
     )
 
-    t_out = jnp.array([0.0, dt])
+    # host array: device-resident times cost a tunnel transfer per trace
+    t_out = np.array([0.0, dt])
     params = (vim, vex)
     # flat-vector Adam: the unflattened update is ~100 tiny per-leaf ops
     # whose dispatch latency rivaled the solve itself on the tunneled chip
@@ -161,16 +199,14 @@ def bench_sinode(args, nx, batch, dt, metric):
         )
         return loss
 
-    import jax as _j
-
     t0 = time.time()
-    _j.block_until_ready(step())
+    _sync(step())
     print(f"first step: {time.time()-t0:.1f}s", file=sys.stderr)
     for _ in range(2):
         step()
-    _j.block_until_ready(step())
+    _sync(step())
 
-    med, best = _windows(step, n_steps, args.windows, _j.block_until_ready)
+    med, best = _windows(step, n_steps, args.windows)
     info = {"compile_s": round(trace_s + compile_s, 1), "compiled": compiled,
             "work_per_program": inner, "extra_flops": 0.0, "extra_bytes": 0.0}
     # the fused Pallas step kernels are XLA custom calls invisible to
@@ -236,12 +272,12 @@ def bench_cifar(args):
         return loss
 
     t0 = time.time()
-    jax.block_until_ready(step())
+    _sync(step())
     print(f"first step: {time.time()-t0:.1f}s", file=sys.stderr)
-    jax.block_until_ready(step())
+    _sync(step())
 
     n_steps = 20 if args.quick else args.steps
-    med, best = _windows(step, n_steps, args.windows, jax.block_until_ready)
+    med, best = _windows(step, n_steps, args.windows)
     # epoch time = full train loop at the reference protocol
     epoch_s = iters_per_epoch / med
     print(
@@ -275,6 +311,7 @@ def main():
 
     pnode_tpu.init([sys.argv[0]] + unknown)
     print(f"benchmark device: {jax.devices()[0]}", file=sys.stderr)
+    _warm_fetch_channel()
 
     if args.workload == "ks":
         med, best, info = bench_sinode(

@@ -88,7 +88,7 @@ def main():
     u_train, u_test = u[:n_train_ic], u[n_train_ic:]
     print(f"Burgers data: {u.shape}, dt {DT_DATA}")
 
-    window_t = jnp.asarray(np.arange(args.batch_time) * DT_DATA)
+    window_t = np.arange(args.batch_time) * DT_DATA
 
     key = jax.random.PRNGKey(args.seed)
     y_tmpl = jnp.zeros((args.batch_size, args.nx), dtype)

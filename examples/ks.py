@@ -114,9 +114,9 @@ def main():
 
     W = args.time_window_size
     if args.time_window_endpoint:
-        t_out = jnp.asarray([0.0, W * dt_data])
+        t_out = np.asarray([0.0, W * dt_data])
     else:
-        t_out = jnp.asarray(np.arange(W + 1) * dt_data)
+        t_out = np.arange(W + 1) * dt_data
 
     key = jax.random.PRNGKey(args.seed)
     y_tmpl = jnp.zeros((args.batch_size, NX), dtype)

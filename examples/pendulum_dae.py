@@ -119,7 +119,7 @@ def main():
         true_y0, Func(pendulum_true, {}), step_size=step_size, method="cn",
         implicit_form=True, mass=M, enable_adjoint=False,
     )
-    t_out = jnp.asarray(t_obs, dtype)
+    t_out = np.asarray(t_obs)
     true_y = ode0.odeint(true_y0, t_out)
     print("data: constraint violation",
           float(jnp.max(jnp.abs(true_y[:, 0] ** 2 + true_y[:, 1] ** 2 - 1.0))))

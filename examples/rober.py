@@ -120,7 +120,7 @@ def main():
         data = (data - shift) / scale
     true_y = jnp.asarray(data, dtype)
     true_y0 = true_y[0]
-    t_out = jnp.asarray(t_obs, dtype)
+    t_out = np.asarray(t_obs)
 
     func = ODEFunc()
     params = to_jax_tree(

@@ -54,7 +54,7 @@ from pnode_tpu.utils import RunningAverageMeter
 dtype = jnp.float64 if args.double_prec else jnp.float32
 
 true_y0 = jnp.asarray([2.0, 0.0], dtype)
-t = jnp.linspace(0.0, 25.0, args.data_size).astype(dtype)
+t = np.linspace(0.0, 25.0, args.data_size)
 true_A = jnp.asarray([[-0.1, 2.0], [-2.0, -0.1]], dtype)
 
 

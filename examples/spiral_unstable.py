@@ -54,7 +54,7 @@ dtype = jnp.float64 if args.double_prec else jnp.float32
 # unstable spiral: positive real part (spiral_unstable.py true_A variant)
 true_A = jnp.asarray([[0.1, 2.0], [-2.0, 0.1]], dtype)
 true_y0 = jnp.asarray([0.5, 0.0], dtype)
-t = jnp.linspace(0.0, 5.0, args.data_size).astype(dtype)
+t = np.linspace(0.0, 5.0, args.data_size)
 
 
 class ODEFunc(nn.Module):

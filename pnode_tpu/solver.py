@@ -310,7 +310,19 @@ class ODESolver:
                 "`t` inside jitted functions instead of passing it as a "
                 "traced argument; the solve itself is fully jittable."
             )
-        t_np = np.asarray(jax.device_get(t), dtype=np.float64).reshape(-1)
+        # `t` is host-side schedule data. If it lives on an accelerator,
+        # fetching it costs a device->host transfer PER TRACE — on the
+        # tunneled TPU backend a single tiny transfer measured 35+ s and
+        # one jit of a training step re-enters here ~9 times (fwd + vjp +
+        # scan traces), which masqueraded as "480 s compile time" in round
+        # 2. Memoize the host copy by array identity (training loops reuse
+        # one `t` object), and prefer passing numpy/python times.
+        memo = getattr(self, "_t_memo", None)
+        if memo is not None and memo[0] is t:
+            t_np = memo[1]
+        else:
+            t_np = np.asarray(jax.device_get(t), dtype=np.float64).reshape(-1)
+            self._t_memo = (t, t_np)
         if t_np.shape[0] == 1:
             # single output time: integrate [0, t0], return only the endpoint
             # (reference: ts.setTime(0); setMaxTime(t[0]) —

@@ -243,7 +243,14 @@ def _frozen_setup(owner, setup, params, t0, dt0, y0, f_flat, build_cache):
             return memo[1]
     ctx = (jax.ensure_compile_time_eval() if const
            else contextlib.nullcontext())
-    with ctx:
+    # pin the eager compile-time work to the LOCAL CPU: on a tunneled TPU
+    # backend every eager primitive pays a ~9 ms round trip, which turned
+    # the jacfwd+inversion freeze into minutes of TRACE time (measured:
+    # KS headline trace 206 s on the tunnel vs 13 s on CPU). The frozen
+    # constants embed into the compiled program either way.
+    dev_ctx = (jax.default_device(jax.devices("cpu")[0]) if const
+               else contextlib.nullcontext())
+    with ctx, dev_ctx:
         y_lin = jnp.zeros(y0.shape, y0.dtype) if const else y0
         J = assemble_block_jacobian(
             f_flat,
@@ -553,12 +560,12 @@ class ARKIMEX:
             if fused is not None:
                 from .ops.fused_ark_forward import fused_ark_step_fwd
 
-                spec, J, inv_op, interpret = fused
+                spec, J, inv_op, interpret, wdt = fused
                 y1, aux = fused_ark_step_fwd(
                     (self._aI, self._aE, self._bI, self._bE), dt, y, J,
                     inv_op, spec["Ws"], spec["bs"],
                     activation=spec["activation"], sign=spec["sign"],
-                    interpret=interpret,
+                    interpret=interpret, weight_dtype=wdt,
                 )
                 return y1, aux, self._fused_stats()
         return self._step_generic(t, dt, y, params)
@@ -653,12 +660,13 @@ class ARKIMEX:
             if fused is not None:
                 from .ops.fused_ark_forward import fused_ark_step_fwd
 
-                spec, J, inv_op, interpret = fused
+                spec, J, inv_op, interpret, wdt = fused
                 y1, err, aux = fused_ark_step_fwd(
                     (self._aI, self._aE, self._bI, self._bE), dt, y, J,
                     inv_op, spec["Ws"], spec["bs"],
                     activation=spec["activation"], sign=spec["sign"],
                     interpret=interpret, b_err=(self._bIe, self._bEe),
+                    weight_dtype=wdt,
                 )
                 return y1, err, aux, self._fused_stats()
         y1, aux, stats = self._step_generic(t, dt, y, params)
@@ -737,13 +745,17 @@ class ARKIMEX:
         spec = self.fused_ex_spec(params_ex)
         if spec is None:
             return None
-        from .ops.fused_ark_adjoint import fused_ark_fits
+        from .ops.fused_ark_adjoint import pick_weight_dtype
 
         d = setup.frozen_J_blocks.shape[-1]
-        if not fused_ark_fits(d, [int(w.shape[1]) for w in spec["Ws"]],
-                              with_grad_accumulators=for_reverse):
+        # "auto" keeps fp32 weight storage where it fits (KS) and falls
+        # back to bf16 storage where only that fits (Burgers-512) —
+        # -pnode_fused_ark_weights overrides
+        wdt = pick_weight_dtype(d, [int(w.shape[1]) for w in spec["Ws"]],
+                                with_grad_accumulators=for_reverse)
+        if wdt is None:
             return None
-        return spec, setup.frozen_J_blocks[0], inv_op, interpret
+        return spec, setup.frozen_J_blocks[0], inv_op, interpret, wdt
 
     def step_adj(self, t, dt, y, params, aux, lam):
         params_im, params_ex = params
@@ -762,11 +774,11 @@ class ARKIMEX:
         if fused is not None:
             from .ops.fused_ark_adjoint import fused_ark_step_adj
 
-            spec, J, inv_op, interpret = fused
+            spec, J, inv_op, interpret, wdt = fused
             lam_prev, (dWs, dbs) = fused_ark_step_adj(
                 (aI, aE, bI, bE), dt, aux, lam, J, inv_op,
                 spec["Ws"], spec["bs"], activation=spec["activation"],
-                sign=spec["sign"], interpret=interpret,
+                sign=spec["sign"], interpret=interpret, weight_dtype=wdt,
             )
             g_ex = spec["rebuild"](dWs, dbs)
             return lam_prev, (tree_zeros_like(params_im), g_ex)
