@@ -55,16 +55,18 @@ from .fused_mlp import _ACTS, _pad2, _round_up
 VMEM_RESIDENT_BUDGET = 12 * 2**20
 
 
-def stiff_dot_precision():
-    """Precision for the STIFF operator dots (J apply, inverse apply) in
-    the fused step kernels, from ``-pnode_fused_ark_precision``:
+def stiff_dot_precision() -> str:
+    """Precision tier for the STIFF operator dots (J apply, inverse apply)
+    in the fused step kernels, from ``-pnode_fused_ark_precision``:
 
     - "highest" (default): fp32-exact 6-pass emulation — the round-2
       hardware fix (bf16 single-pass silently broke KS training).
-    - "high": bf16_3x 3-pass (~2^-21 error vs fp32's 2^-24) — recovers
+    - "high": bf16x3 3-pass (~2^-21 error vs fp32's 2^-24) — recovers
       part of the HIGHEST throughput cost; only use after
       tools/hardware_smoke.py passes AND the training trajectory
-      reproduces on the chip.
+      reproduces on the chip. Mosaic rejects the Precision.HIGH enum
+      inside kernels, so _stiff_dot emulates it with an explicit
+      two-term bf16 split (xh@Ah + xh@Al + xl@Ah).
     - "default": single-pass bf16 — known WRONG for stiff operators on
       real hardware; exposed for measurement only.
 
@@ -72,34 +74,90 @@ def stiff_dot_precision():
     from ..options import Options
 
     name = Options().get_string("pnode_fused_ark_precision", "highest")
-    table = {
-        "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
-        "default": jax.lax.Precision.DEFAULT,
-    }
-    if name not in table:
+    if name not in ("highest", "high", "default"):
         raise ValueError(
             f"-pnode_fused_ark_precision {name!r}: use highest|high|default"
         )
-    return table[name]
+    return name
+
+
+def _stiff_dot(x, A, prec: str):
+    """Stiff-operator dot at the selected tier (see stiff_dot_precision)."""
+    if prec == "highest":
+        return jnp.dot(x, A, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if prec == "high":
+        xh32 = x.astype(jnp.bfloat16).astype(jnp.float32)
+        xh = xh32.astype(jnp.bfloat16)
+        xl = (x - xh32).astype(jnp.bfloat16)
+        Ah32 = A.astype(jnp.bfloat16).astype(jnp.float32)
+        Ah = Ah32.astype(jnp.bfloat16)
+        Al = (A - Ah32).astype(jnp.bfloat16)
+        d = jnp.dot(xh, Ah, preferred_element_type=jnp.float32)
+        d = d + jnp.dot(xh, Al, preferred_element_type=jnp.float32)
+        d = d + jnp.dot(xl, Ah, preferred_element_type=jnp.float32)
+        return d
+    return jnp.dot(x, A, preferred_element_type=jnp.float32)
 
 
 def fused_ark_fits(d: int, layer_dims: Sequence[int],
-                   with_grad_accumulators: bool = True) -> bool:
+                   with_grad_accumulators: bool = True,
+                   weight_dtype: str = "f32") -> bool:
     """True when the resident set fits the scoped-VMEM budget.
 
-    The REVERSE kernel holds the weight stack twice (weights + dW
-    accumulators): e.g. KS nx=64 yes; Burgers nx=512 no — its padded stack
-    alone is ~7.5 MB. ``with_grad_accumulators=False`` is the forward-only
-    budget (weight stack once); note the STEPPERS deliberately keep the
-    forward kernel gated on the full reverse-capable budget — fusing only
-    the forward measured a 10% regression at Burgers-512 sizes (RESULTS.md)
-    — so the relaxed budget serves direct kernel callers only."""
+    The REVERSE kernel holds the weight stack (at ``weight_dtype`` bytes)
+    plus fp32 dW accumulators: e.g. KS nx=64 fits at fp32; Burgers nx=512
+    does NOT (fp32 resident ~16.4 MB) but DOES with bf16 weight storage
+    (~12.8 MB resident; the MLP dots already run single-pass bf16 at
+    DEFAULT precision on fp32 inputs, so bf16 *storage* barely moves the
+    math — the stiff operators stay fp32). ``with_grad_accumulators=
+    False`` is the forward-only budget (weight stack once); note the
+    STEPPERS deliberately keep the forward kernel gated on the full
+    reverse-capable budget — fusing only the forward measured a 10%
+    regression at Burgers-512 sizes (RESULTS.md) — so the relaxed budget
+    serves direct kernel callers only."""
     pdims = [_round_up(x, 128) for x in [d] + list(layer_dims)]
     P = pdims[0]
-    weights = 4 * sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
-    mult = 2 if with_grad_accumulators else 1
-    return mult * weights + 2 * 4 * P * P <= VMEM_RESIDENT_BUDGET
+    w_elems = sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
+    wbytes = (2 if weight_dtype == "bf16" else 4) * w_elems
+    grad_bytes = 4 * w_elems if with_grad_accumulators else 0
+    # the bf16 path runs closer to the 16M scoped limit: its raison
+    # d'etre is squeezing Burgers-size stacks in, and its per-tile
+    # working set is clamped to the small remainder
+    budget = VMEM_RESIDENT_BUDGET + (2**20 if weight_dtype == "bf16" else 0)
+    return wbytes + grad_bytes + 2 * 4 * P * P <= budget
+
+
+def pick_weight_dtype(d: int, layer_dims: Sequence[int],
+                      with_grad_accumulators: bool = True):
+    """Resolve the fused kernels' weight-storage dtype: "f32", "bf16", or
+    None (does not fit). ``-pnode_fused_ark_weights {auto,f32,bf16}``.
+
+    MEASURED NEGATIVE RESULT (round 3, Burgers-512 5-layer reverse): bf16
+    weight storage halves the resident stack as modeled (~12.8 MB), but
+    Mosaic's actual scoped-VMEM demand for the monolithic reverse kernel
+    was 33.76 MB against the 16 MB limit — the compiler's per-tile live
+    set (stage arrays, recompute activations, double buffering) is ~10x
+    the naive per-row model, and shrinking the batch tile cannot recover
+    a >2x gap. So "auto" does NOT fall back to bf16: it returns f32 when
+    that fits (KS-class sizes) and None otherwise (Burgers-512 keeps the
+    generic XLA path, 7,015 steps/s with real sync). "bf16" stays as an
+    explicit opt-in for smaller stacks where the fp32 resident set is the
+    only blocker."""
+    from ..options import Options
+
+    mode = Options().get_string("pnode_fused_ark_weights", "auto")
+    if mode not in ("auto", "f32", "bf16"):
+        raise ValueError(
+            f"-pnode_fused_ark_weights {mode!r}: use auto|f32|bf16"
+        )
+    if mode in ("auto", "f32") and fused_ark_fits(
+            d, layer_dims, with_grad_accumulators, "f32"):
+        return "f32"
+    if mode == "bf16" and fused_ark_fits(
+            d, layer_dims, with_grad_accumulators, "bf16"):
+        return "bf16"
+    return None
 
 
 def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
@@ -147,8 +205,7 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
         p = None
         if u is not None:
             # raised precision: stiff operator transpose (fused_ark_forward)
-            p = jnp.dot(u, jt, preferred_element_type=jnp.float32,
-                        precision=stiff_prec)
+            p = _stiff_dot(u, jt, stiff_prec)
         if uh is not None:
             # MLP VJP at Y_i with covector sign * uh:
             # recompute forward storing layer inputs, then backprop
@@ -159,7 +216,11 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
             for l in range(n_layers):
                 W = refs[2 * l][:]
                 b = refs[2 * l + 1][:]
-                z = jnp.dot(h, W, preferred_element_type=jnp.float32) + b
+                # bf16 weight storage: cast the activation to match (the
+                # MXU's native bf16 x bf16 -> f32 path; same arithmetic
+                # the DEFAULT-precision fp32 dot performs anyway)
+                z = jnp.dot(h.astype(W.dtype), W,
+                            preferred_element_type=jnp.float32) + b
                 pre.append(z)
                 h = act(z) if l < n_layers - 1 else z
                 hs.append(h)
@@ -176,14 +237,14 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
                 db = jnp.sum(g, axis=0, keepdims=True)
                 dWs[l] = dW if dWs[l] is None else dWs[l] + dW
                 dbs[l] = db if dbs[l] is None else dbs[l] + db
-                g = jnp.dot(g, W.T, preferred_element_type=jnp.float32)
+                g = jnp.dot(g.astype(W.dtype), W.T,
+                            preferred_element_type=jnp.float32)
             # sign was folded into the backprop seed, so g IS the f_ex VJP
             dyE = g
             p = dyE if p is None else p + dyE
 
         if aI[i][i] != 0.0:
-            xi = jnp.dot(p, invt, preferred_element_type=jnp.float32,
-                         precision=stiff_prec)
+            xi = _stiff_dot(p, invt, stiff_prec)
         else:
             xi = p
         xis[i] = xi
@@ -248,10 +309,14 @@ def fused_ark_step_adj(
     activation: str = "relu",
     sign: float = -1.0,
     interpret: bool = False,
+    weight_dtype: str = "f32",
 ) -> Tuple[jnp.ndarray, Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]]:
     """One fused reverse ARK step. Returns (lam_prev, (dWs, dbs)).
 
     tableau_static: (a_im, a_ex, b_im, b_ex) as nested python floats.
+    ``weight_dtype="bf16"`` stores the resident weight stack in bf16
+    (halving its VMEM footprint — the Burgers-512 enabler); dW
+    accumulators and the stiff operators stay fp32.
     """
     aI, aE, bI, bE = tableau_static
     s, B, d = Ys.shape
@@ -266,14 +331,16 @@ def fused_ark_step_adj(
     # batch-tile size chosen to fit the scoped VMEM budget: weights +
     # operators are resident; per-row cost = Ys/xis/covectors (s tiles of P)
     # plus the recompute-then-backprop activations (n_layers + 1 of maxP)
-    if not fused_ark_fits(d, [int(w.shape[1]) for w in weights]):
+    if not fused_ark_fits(d, [int(w.shape[1]) for w in weights],
+                          weight_dtype=weight_dtype):
         raise ValueError(
             "fused ARK reverse step does not fit VMEM at these sizes; "
             "gate with fused_ark_fits() before calling"
         )
-    budget = 14 * 2**20  # bytes, vs the 16M scoped limit
-    fixed = 4 * (2 * sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
-                 + 2 * P * P)
+    wb = 2 if weight_dtype == "bf16" else 4
+    budget = 14 * 2**20 + (2**20 if weight_dtype == "bf16" else 0)
+    w_elems = sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
+    fixed = (wb + 4) * w_elems + 4 * 2 * P * P
     per_row = 4 * (4 * s * P + 2 * (n_layers + 1) * maxP + 6 * P)
     Bt = max(8, min(_round_up(B, 8), ((budget - fixed) // per_row) // 8 * 8))
     Bp = _round_up(B, Bt)
@@ -289,8 +356,10 @@ def fused_ark_step_adj(
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
 
     flat = []
+    wdt = jnp.bfloat16 if weight_dtype == "bf16" else None
     for i, (w, b) in enumerate(zip(weights, biases)):
-        flat.append(_pad2(w, pdims[i], pdims[i + 1]))
+        wp = _pad2(w, pdims[i], pdims[i + 1])
+        flat.append(wp if wdt is None else wp.astype(wdt))
         flat.append(_pad2(b.reshape(1, -1), 1, pdims[i + 1]))
 
     out_shapes = [jax.ShapeDtypeStruct((Bp, P), lam.dtype)]

@@ -44,7 +44,9 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from .fused_mlp import _ACTS, _pad2, _round_up
-from .fused_ark_adjoint import fused_ark_fits, stiff_dot_precision
+from .fused_ark_adjoint import (
+    _stiff_dot, fused_ark_fits, stiff_dot_precision,
+)
 
 
 def _kernel(s, n_layers, act_name, aI, aE, bI, bE, dI, dE, sign, stiff_prec,
@@ -69,7 +71,9 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, dI, dE, sign, stiff_prec,
         for l in range(n_layers):
             W = refs[2 * l][:]
             b = refs[2 * l + 1][:]
-            h = jnp.dot(h, W, preferred_element_type=jnp.float32) + b
+            # bf16 weight storage: MXU-native bf16 dot with f32 accumulate
+            h = jnp.dot(h.astype(W.dtype), W,
+                        preferred_element_type=jnp.float32) + b
             if l < n_layers - 1:
                 h = act(h)
         return h
@@ -93,17 +97,12 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, dI, dE, sign, stiff_prec,
             # while every CPU test passed — CPU dots are exact fp32).
             # stiff_prec defaults to HIGHEST (fp32, 6-pass); see
             # stiff_dot_precision for the -pnode_fused_ark_precision knob.
-            r = (-dt * aI[i][i]) * jnp.dot(
-                G, jf, preferred_element_type=jnp.float32,
-                precision=stiff_prec,
-            )
-            Yi = G - jnp.dot(r, invf, preferred_element_type=jnp.float32,
-                             precision=stiff_prec)
+            r = (-dt * aI[i][i]) * _stiff_dot(G, jf, stiff_prec)
+            Yi = G - _stiff_dot(r, invf, stiff_prec)
         else:
             Yi = G
         ys_ref[i] = Yi.astype(ys_ref.dtype)
-        kI[i] = jnp.dot(Yi, jf, preferred_element_type=jnp.float32,
-                        precision=stiff_prec)
+        kI[i] = _stiff_dot(Yi, jf, stiff_prec)
         kE[i] = sign * mlp(Yi)
         if bI[i] != 0.0:
             y1 = y1 + (dt * bI[i]) * kI[i]
@@ -156,6 +155,7 @@ def fused_ark_step_fwd(
     sign: float = -1.0,
     interpret: bool = False,
     b_err=None,
+    weight_dtype: str = "f32",
 ) -> Tuple[jnp.ndarray, ...]:
     """One fused forward ARK step. Returns (y1, Ys stacked (s, B, d)), or
     (y1, err, Ys) when ``b_err = (b_im_err, b_ex_err)`` is given (the
@@ -169,12 +169,15 @@ def fused_ark_step_fwd(
     P = pdims[0]
     maxP = max(pdims)
 
-    if not fused_ark_fits(d, dims[1:], with_grad_accumulators=False):
+    if not fused_ark_fits(d, dims[1:], with_grad_accumulators=False,
+                          weight_dtype=weight_dtype):
         raise ValueError("fused ARK forward step does not fit VMEM")
 
+    wb = 2 if weight_dtype == "bf16" else 4
     budget = 14 * 2**20
-    fixed = 4 * (sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
-                 + 2 * P * P)
+    fixed = (wb * sum(pi * pj for pi, pj in zip(pdims, pdims[1:]))
+             + 4 * sum(pdims[1:])
+             + 4 * 2 * P * P)
     per_row = 4 * (3 * s * P + 2 * maxP + 6 * P)
     if b_err is not None:
         # embedded path: err accumulator + the extra (Bt, P) output block
@@ -190,8 +193,10 @@ def fused_ark_step_fwd(
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
 
     flat = []
+    wdt = jnp.bfloat16 if weight_dtype == "bf16" else None
     for i, (w, b) in enumerate(zip(weights, biases)):
-        flat.append(_pad2(w, pdims[i], pdims[i + 1]))
+        wp = _pad2(w, pdims[i], pdims[i + 1])
+        flat.append(wp if wdt is None else wp.astype(wdt))
         flat.append(_pad2(b.reshape(1, -1), 1, pdims[i + 1]))
 
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,

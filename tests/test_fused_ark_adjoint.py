@@ -245,3 +245,79 @@ def test_fused_kernels_use_highest_precision_stiff_dots():
         activation="relu", sign=-1.0, interpret=True,
     )
     assert n_adj >= n_impl, n_adj
+
+
+def test_weight_dtype_gate_and_bf16_kernels():
+    """pick_weight_dtype: auto = f32-where-it-fits, None at Burgers sizes
+    (measured VMEM negative result, round 3); explicit bf16 opt-in runs
+    both kernels with bf16-resident weights close to the f32 output."""
+    import numpy as np
+
+    import pnode_tpu
+    from pnode_tpu.ops.fused_ark_adjoint import (
+        fused_ark_step_adj, pick_weight_dtype,
+    )
+    from pnode_tpu.ops.fused_ark_forward import fused_ark_step_fwd
+    from pnode_tpu.tableaus import get_ark_tableau
+
+    pnode_tpu.clear_options()
+    assert pick_weight_dtype(64, [104] * 4 + [64]) == "f32"
+    assert pick_weight_dtype(512, [576] * 4 + [512]) is None
+    pnode_tpu.init(["p", "-pnode_fused_ark_weights", "bf16"])
+    assert pick_weight_dtype(64, [104] * 4 + [64]) == "bf16"
+    pnode_tpu.clear_options()
+
+    rng = np.random.default_rng(0)
+    d, B, h = 64, 16, 104
+    Ws = [jnp.asarray(rng.normal(size=s).astype("float32")) * 0.05
+          for s in [(d, h), (h, h), (h, d)]]
+    bs = [jnp.zeros((s,), jnp.float32) for s in (h, h, d)]
+    J = jnp.asarray(rng.normal(size=(d, d)).astype("float32"))
+    J = -(J @ J.T) * 0.1
+    dt = 0.1
+    tab = get_ark_tableau("3")
+    gamma = [float(x) for x in np.diag(tab.a_im) if x != 0.0][0]
+    inv = jnp.linalg.inv(jnp.eye(d) - dt * gamma * J)
+    tabst = (
+        [[float(x) for x in r] for r in tab.a_im],
+        [[float(x) for x in r] for r in tab.a_ex],
+        [float(x) for x in tab.b_im],
+        [float(x) for x in tab.b_ex],
+    )
+    y = jnp.asarray(rng.normal(size=(B, d)).astype("float32"))
+    y1f, auxf = fused_ark_step_fwd(tabst, dt, y, J, inv, Ws, bs,
+                                   interpret=True, weight_dtype="f32")
+    y1b, _ = fused_ark_step_fwd(tabst, dt, y, J, inv, Ws, bs,
+                                interpret=True, weight_dtype="bf16")
+    rel = float(jnp.max(jnp.abs(y1f - y1b)) / jnp.max(jnp.abs(y1f)))
+    assert rel < 2e-2
+
+    lam = jnp.asarray(rng.normal(size=(B, d)).astype("float32"))
+    lpf, _ = fused_ark_step_adj(tabst, dt, auxf, lam, J, inv, Ws, bs,
+                                interpret=True, weight_dtype="f32")
+    lpb, _ = fused_ark_step_adj(tabst, dt, auxf, lam, J, inv, Ws, bs,
+                                interpret=True, weight_dtype="bf16")
+    rel2 = float(jnp.max(jnp.abs(lpf - lpb)) / jnp.max(jnp.abs(lpf)))
+    assert rel2 < 2e-2
+
+
+def test_stiff_dot_tiers_accuracy():
+    """bf16x3 ('high') sits between fp32-exact and single-pass bf16."""
+    import numpy as np
+
+    from pnode_tpu.ops.fused_ark_adjoint import _stiff_dot
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 64)),
+                    jnp.float32)
+    A = jnp.asarray(np.random.default_rng(1).normal(size=(64, 64)) * 100,
+                    jnp.float32)
+    exact = np.asarray(x, np.float64) @ np.asarray(A, np.float64)
+
+    def rel(p):
+        d = np.asarray(_stiff_dot(x, A, p), np.float64)
+        return np.abs(d - exact).max() / np.abs(exact).max()
+
+    # CPU dots are exact fp32 for highest/default; 'high' shows the
+    # bf16x3 truncation and must stay well under bf16's ~4e-3
+    assert rel("highest") < 1e-6
+    assert rel("high") < 5e-5

@@ -75,7 +75,10 @@ def main() -> int:
     tgt = jnp.asarray(u_all[301:301 + B], jnp.float32)
 
     pnode_tpu.clear_options()
-    pnode_tpu.init(["smoke", "-snes_type", "ksponly"])
+    # forward PETSc-style flags from the command line (e.g.
+    # -pnode_fused_ark_precision high to numerics-gate a precision tier)
+    extra = [a for a in sys.argv[1:] if not a.startswith("--")]
+    pnode_tpu.init(["smoke", "-snes_type", "ksponly"] + extra)
     im = KSFuncIM(nx=d, L=22.0)
     ex = KSFuncEX(nx=d, use_pallas=True)
     tmpl = jnp.zeros((B, d), jnp.float32)
