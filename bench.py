@@ -348,8 +348,10 @@ def main():
         # amortization work
         vs_baseline = value / 450.0
     elif args.workload == "cifar":
-        # round-1 epoch time on the same chip (RESULTS.md: 80-187 s/epoch;
-        # the optimistic end). Ratio > 1 = faster than baseline.
+        # round-1 epoch time on the same chip (RESULTS.md: 80-187 s/epoch,
+        # measured with the then-broken sync — treat the ratio as
+        # indicative only; round-3 re-measured 18.2 s/epoch with real
+        # sync). Ratio > 1 = faster than baseline.
         vs_baseline = 80.0 / max(value, 1e-9)
     if args.workload == "ks":
         for cand in ("BENCH_r01.json", "BENCH_r1.json"):

@@ -225,18 +225,26 @@ def main() -> int:
             up, s = opt.update(g, s)
             return optax.apply_updates(p, up), s, loss, g
 
-        losses = []
+        @jax.jit
+        def img_eval(p):
+            # FIXED probe key: common-random-numbers evaluation so the
+            # before/after comparison is not drowned by Hutchinson noise
+            # (the per-step training keys differ, as in real training)
+            lp, _ = model.log_prob(p, x_img, key=jax.random.PRNGKey(99))
+            return -jnp.mean(lp)
+
+        nll0 = float(img_eval(p_img))
         finite = True
-        for i in range(6):
+        for i in range(10):
             p_img, s_img, lv, g = img_step(p_img, s_img,
                                            jax.random.PRNGKey(10 + i))
-            losses.append(float(lv))
             finite = finite and all(
                 bool(jnp.all(jnp.isfinite(a)))
                 for a in jax.tree_util.tree_leaves(g)
             )
-        gate("FFJORD image CNF trains", finite and losses[-1] < losses[0],
-             f"nll {losses[0]:.3f} -> {losses[-1]:.3f}, grads finite={finite}")
+        nll1 = float(img_eval(p_img))
+        gate("FFJORD image CNF trains", finite and nll1 < nll0,
+             f"fixed-key nll {nll0:.3f} -> {nll1:.3f}, grads finite={finite}")
 
         # -- 6. GRAND on the chip --------------------------------------------
         from pnode_tpu.models.grand import (
