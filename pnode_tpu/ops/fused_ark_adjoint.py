@@ -202,8 +202,16 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
         if u is None and uh is None:
             continue
 
+        # Reverse-side algebraic collapse (round 3, mirror of the forward
+        # one): for implicit stages xi = inv^T (J^T u + v) with
+        # inv = (I - dt a_ii J)^{-1}, and since inv^T (I - dt a_ii J)^T = I,
+        #     inv^T J^T u = (inv^T u - u) / (dt a_ii)
+        # so  xi = (u/(dt a_ii) + v) @ invt - u/(dt a_ii)
+        # — ONE stiff dot per stage instead of two (J^T apply + transposed
+        # solve). Explicit stages (a_ii = 0) still need the J^T apply.
+        implicit = aI[i][i] != 0.0
         p = None
-        if u is not None:
+        if u is not None and not implicit:
             # raised precision: stiff operator transpose (fused_ark_forward)
             p = _stiff_dot(u, jt, stiff_prec)
         if uh is not None:
@@ -243,8 +251,17 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
             dyE = g
             p = dyE if p is None else p + dyE
 
-        if aI[i][i] != 0.0:
-            xi = _stiff_dot(p, invt, stiff_prec)
+        if implicit:
+            if u is not None:
+                # dt=0 identity steps (adaptive masked trials, checkpoint
+                # padding): u is numerically zero there, but the 1/dt must
+                # stay finite — same guard as the forward kernel
+                inv_dtg = jnp.where(dt == 0.0, 0.0, 1.0 / (dt * aI[i][i]))
+                c = u * inv_dtg
+                q = c if p is None else c + p
+                xi = _stiff_dot(q, invt, stiff_prec) - c
+            else:
+                xi = _stiff_dot(p, invt, stiff_prec)
         else:
             xi = p
         xis[i] = xi
@@ -277,10 +294,12 @@ def fused_ark_adj_cost(tableau_static, B, d, layer_dims):
     sizes (see fused_ark_fwd_cost — Pallas custom calls report zero cost to
     XLA's analysis, so benchmarks add this).
 
-    Per active stage: J^T apply (2Bd^2), MLP recompute + backprop
-    (forward dots + dW outer products + g@W^T: ~3x the forward MLP dots),
-    transposed inverse apply (2Bd^2). HBM: operators + weights read once,
-    stage values (s,B,d) + lam in, lam_prev + weight grads out.
+    Per active stage: ONE stiff dot (the round-3 reverse collapse folds
+    the J^T apply into the transposed inverse apply for implicit stages;
+    explicit stages keep the J^T apply) + MLP recompute + backprop
+    (forward dots + dW outer products + g@W^T: ~3x the forward MLP dots).
+    HBM: operators + weights read once, stage values (s,B,d) + lam in,
+    lam_prev + weight grads out.
     """
     aI, _, bI, _ = tableau_static
     s = len(bI)
@@ -288,10 +307,8 @@ def fused_ark_adj_cost(tableau_static, B, d, layer_dims):
     mlp = sum(2 * B * a * b for a, b in zip(dims, dims[1:]))
     flops = 0
     for i in range(s):
-        flops += 2 * B * d * d          # u @ J^T
+        flops += 2 * B * d * d          # one stiff dot (inv^T or J^T)
         flops += 3 * mlp                # MLP recompute + dW + g backprop
-        if aI[i][i] != 0.0:
-            flops += 2 * B * d * d      # p @ inv^T
     w_elems = sum(a * b + b for a, b in zip(dims, dims[1:]))
     byts = 4 * (2 * d * d + 2 * w_elems + B * d * (s + 2))
     return flops, byts
