@@ -215,7 +215,10 @@ class ODESolver:
         elif tt == "disk":
             # stream states to a host memmap (PETSc's default trajectory
             # backend). Needs ordered host callbacks, which the tunneled TPU
-            # backend lacks — there the DOCUMENTED SUBSTITUTE is the CAMS
+            # backend lacks — VERIFIED by direct experiment (round 3): a
+            # jitted scan containing an ordered io_callback hangs
+            # indefinitely (>20 min, SIGTERM) on the axon backend, before
+            # producing any output. The DOCUMENTED SUBSTITUTE is the CAMS
             # schedule at the same memory budget (recompute instead of
             # spill; the spill bandwidth over the tunnel would dwarf the
             # recompute cost anyway). -ts_trajectory_max_cps_ram sets the
