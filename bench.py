@@ -241,7 +241,8 @@ def bench_cifar(args):
     batch = 128
     iters_per_epoch = 390  # 50k / 128, the reference's full-epoch loop
     model = SqueezeNextODE(
-        num_classes=10, width_x=1.0, method=args.cifar_method, Nt=args.cifar_nt
+        num_classes=10, width_x=1.0, method=args.cifar_method,
+        Nt=args.cifar_nt, dtype=args.cifar_dtype,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 32, 32, 3)).astype("float32"))
@@ -303,6 +304,9 @@ def main():
                          "per-step host dispatch mode")
     ap.add_argument("--cifar_nt", type=int, default=2)
     ap.add_argument("--cifar_method", type=str, default="rk4")
+    ap.add_argument("--cifar_dtype", type=str, default="f32",
+                    choices=["f32", "bf16"],
+                    help="activation/ODE-state dtype (params stay f32)")
     args, unknown = ap.parse_known_args()
 
     import jax
@@ -337,6 +341,8 @@ def main():
             f"cifar10_odenet_epoch_seconds_b128_nt{args.cifar_nt}_"
             f"{args.cifar_method}"
         )
+        if args.cifar_dtype != "f32":
+            metric += f"_{args.cifar_dtype}"
         value = epoch_s
         rate_for_roofline = med  # iterations/s
         unit = "s/epoch"

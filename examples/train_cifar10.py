@@ -39,6 +39,10 @@ parser.add_argument("--data_dir", type=str, default="./data/cifar-10-batches-py"
 parser.add_argument("--train_dir", type=str, default="./train_results_cifar")
 parser.add_argument("--iters_per_epoch", type=int, default=0)
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--precision", type=str, default="f32",
+                    choices=["f32", "bf16"],
+                    help="activation/ODE-state dtype; params, norm stats, "
+                         "logits and optimizer state stay f32")
 parser.add_argument("--cpu", action="store_true")
 args = init_flags(parser)
 
@@ -118,7 +122,7 @@ def main():
 
     model = SqueezeNextODE(
         num_classes=10, width_x=args.width_x, method=args.method, Nt=args.Nt,
-        t1=args.t1,
+        t1=args.t1, dtype=args.precision,
     )
     x0 = jnp.asarray(x_tr[: args.batch_size])
     params = model.init(jax.random.PRNGKey(args.seed), x0)

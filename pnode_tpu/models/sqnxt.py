@@ -23,7 +23,11 @@ import jax.numpy as jnp
 
 
 class BatchStatsNorm(nn.Module):
-    """Normalize over (batch, H, W) per channel with learnable affine."""
+    """Normalize over (batch, H, W) per channel with learnable affine.
+
+    Statistics are always computed in f32 (bf16 mean/var over 128k
+    elements loses whole digits); the result is cast back to the input
+    dtype so the mixed-precision activation stream stays bf16."""
 
     eps: float = 1e-5
 
@@ -31,18 +35,20 @@ class BatchStatsNorm(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes)
+        var = jnp.var(x32, axis=axes)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return (x - mean) / jnp.sqrt(var + self.eps) * scale + bias
+        out = (x32 - mean) / jnp.sqrt(var + self.eps) * scale + bias
+        return out.astype(x.dtype)
 
 
-def _conv(ch, ksize, stride=1):
+def _conv(ch, ksize, stride=1, dtype=None):
     if isinstance(ksize, int):
         ksize = (ksize, ksize)
     return nn.Conv(ch, ksize, strides=(stride, stride), padding="SAME",
-                   use_bias=True)
+                   use_bias=True, dtype=dtype)
 
 
 class BasicBlock(nn.Module):
@@ -51,6 +57,7 @@ class BasicBlock(nn.Module):
     in_channels: int
     out_channels: int
     stride: int = 1
+    dtype: object = None  # compute/activation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
@@ -61,15 +68,17 @@ class BasicBlock(nn.Module):
             red = 0.25
         c1 = int(self.in_channels * red)
         c2 = int(self.in_channels * red * 0.5)
+        dt = self.dtype
 
-        h = nn.relu(BatchStatsNorm()(_conv(c1, 1, self.stride)(x)))
-        h = nn.relu(BatchStatsNorm()(_conv(c2, 1)(h)))
-        h = nn.relu(BatchStatsNorm()(_conv(c1, (1, 3))(h)))
-        h = nn.relu(BatchStatsNorm()(_conv(c1, (3, 1))(h)))
-        h = nn.relu(BatchStatsNorm()(_conv(self.out_channels, 1)(h)))
+        h = nn.relu(BatchStatsNorm()(_conv(c1, 1, self.stride, dt)(x)))
+        h = nn.relu(BatchStatsNorm()(_conv(c2, 1, dtype=dt)(h)))
+        h = nn.relu(BatchStatsNorm()(_conv(c1, (1, 3), dtype=dt)(h)))
+        h = nn.relu(BatchStatsNorm()(_conv(c1, (3, 1), dtype=dt)(h)))
+        h = nn.relu(BatchStatsNorm()(_conv(self.out_channels, 1,
+                                           dtype=dt)(h)))
         if self.stride == 2 or self.in_channels != self.out_channels:
             sc = nn.relu(BatchStatsNorm()(_conv(self.out_channels, 1,
-                                                self.stride)(x)))
+                                                self.stride, dt)(x)))
         else:
             sc = nn.relu(x)
         return nn.relu(h + sc)
@@ -80,39 +89,49 @@ class ODEDynamics(nn.Module):
     (sqnxt_PETSc.py BasicBlock2, :71-121)."""
 
     dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, t, x):
         c1 = int(self.dim * 0.5)
         c2 = int(self.dim * 0.25)
-        h = nn.relu(BatchStatsNorm()(_conv(c1, 1)(x)))
-        h = nn.relu(BatchStatsNorm()(_conv(c2, 1)(h)))
-        h = nn.relu(BatchStatsNorm()(_conv(c1, (1, 3))(h)))
-        h = nn.relu(BatchStatsNorm()(_conv(c1, (3, 1))(h)))
-        h = nn.relu(BatchStatsNorm()(_conv(self.dim, 1)(h)))
+        dt = self.dtype
+        h = nn.relu(BatchStatsNorm()(_conv(c1, 1, dtype=dt)(x)))
+        h = nn.relu(BatchStatsNorm()(_conv(c2, 1, dtype=dt)(h)))
+        h = nn.relu(BatchStatsNorm()(_conv(c1, (1, 3), dtype=dt)(h)))
+        h = nn.relu(BatchStatsNorm()(_conv(c1, (3, 1), dtype=dt)(h)))
+        h = nn.relu(BatchStatsNorm()(_conv(self.dim, 1, dtype=dt)(h)))
         return h
 
 
 class Stem(nn.Module):
     width_x: float = 1.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         return nn.relu(
-            BatchStatsNorm()(_conv(int(self.width_x * 64), 3)(x))
+            BatchStatsNorm()(_conv(int(self.width_x * 64), 3,
+                                   dtype=self.dtype)(x))
         )
 
 
 class Head(nn.Module):
     width_x: float = 1.0
     num_classes: int = 10
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        h = nn.relu(BatchStatsNorm()(_conv(int(self.width_x * 128), 1)(x)))
+        h = nn.relu(BatchStatsNorm()(_conv(int(self.width_x * 128), 1,
+                                           dtype=self.dtype)(x)))
         h = nn.avg_pool(h, (4, 4), strides=(4, 4))
         h = h.reshape(h.shape[0], -1)
-        return nn.Dense(self.num_classes)(h)
+        # logits in f32 regardless of the activation stream (loss stability)
+        return nn.Dense(self.num_classes,
+                        dtype=self.dtype)(h).astype(jnp.float32)
 
 
 class SqueezeNextODE:
@@ -131,29 +150,44 @@ class SqueezeNextODE:
 
     def __init__(self, num_classes: int = 10, width_x: float = 1.0,
                  method: str = "rk4", Nt: int = 2, t1: float = 1.0,
-                 enable_adjoint: bool = True):
+                 enable_adjoint: bool = True, dtype=None):
+        """``dtype="bf16"``/``jnp.bfloat16`` selects mixed-precision
+        training: parameters and their gradients stay f32 (flax casts at
+        each conv), norm statistics and logits are computed in f32, but
+        the activation stream AND the ODE state/trajectory are bf16 —
+        halving the HBM traffic this conv-bound workload sits on (bench:
+        hbm_frac > 1 at f32). TPU-native capability beyond the reference
+        (PETSc builds are fp32/fp64 only)."""
         from ..solver import ODESolver
 
+        if isinstance(dtype, str):
+            dtype = {"f32": None, "float32": None,
+                     "bf16": jnp.bfloat16,
+                     "bfloat16": jnp.bfloat16}[dtype]
         self.width_x = width_x
         self.method = method
         self.step_size = t1 / float(Nt)
         self.t1 = t1
         self._ODESolver = ODESolver
         self.enable_adjoint = enable_adjoint
+        self.dtype = dtype
 
-        self.pieces = [("stem", Stem(width_x))]
+        self.pieces = [("stem", Stem(width_x, dtype=dtype))]
         in_ch = 64
         for si, (nblocks, ch, stride) in enumerate(
             zip(self.BLOCKS, self.STAGE_CH, self.STAGE_STRIDE)
         ):
             self.pieces.append((
                 "entry",
-                BasicBlock(int(width_x * in_ch), int(width_x * ch), stride),
+                BasicBlock(int(width_x * in_ch), int(width_x * ch), stride,
+                           dtype=dtype),
             ))
             for _ in range(nblocks - 1):
-                self.pieces.append(("ode", ODEDynamics(int(width_x * ch))))
+                self.pieces.append(
+                    ("ode", ODEDynamics(int(width_x * ch), dtype=dtype))
+                )
             in_ch = ch
-        self.pieces.append(("head", Head(width_x, num_classes)))
+        self.pieces.append(("head", Head(width_x, num_classes, dtype=dtype)))
         self._solvers = {}
 
     # -- parameter init ---------------------------------------------------

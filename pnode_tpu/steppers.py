@@ -127,7 +127,11 @@ class ExplicitRK:
             if b[i] != 0.0:
                 y1 = y1 + (dt * b[i]) * ks[i]
         aux = jnp.stack(ks)
-        return y1, aux, StepStats.zero()
+        # preserve the state dtype across the step (bf16 time integration:
+        # stage math may promote to f32 — fused by XLA, costless — but the
+        # CARRIED state and the STORED trajectory/aux stay at state dtype,
+        # which is where the HBM traffic is; scan carries also require it)
+        return y1.astype(y.dtype), aux.astype(y.dtype), StepStats.zero()
 
     def step_embedded(self, t, dt, y, params):
         """Step + embedded-error estimate (for the adaptive controller)."""
@@ -169,12 +173,16 @@ class ExplicitRK:
                 if a[m][i] != 0.0 and xis[m] is not None:
                     u = u + (dt * a[m][i]) * xis[m]
             ti = t + c[i] * dt
-            _, vjp = jax.vjp(lambda yy, pp: self.f(ti, yy, pp), Ys[i], params)
-            dly, dlp = vjp(u)
+            fo, vjp = jax.vjp(lambda yy, pp: self.f(ti, yy, pp), Ys[i], params)
+            # the cotangent must match f's OUTPUT dtype (which may be
+            # promoted above the state dtype, e.g. bf16 state + f32 params)
+            dly, dlp = vjp(u.astype(fo.dtype))
             xis[i] = dly
             gp = tree_add(gp, dlp)
             lam_prev = lam_prev + dly
-        return lam_prev, gp
+        # state covector rides at state dtype (param grads stay at param
+        # dtype via the VJPs); required for the reverse-scan carry
+        return lam_prev.astype(lam.dtype), gp
 
 
 @dataclass
@@ -367,10 +375,16 @@ class Theta:
             make = lambda zf: cached
         else:
             make = lambda zf: self._solver(t1, params, gamma, zf, shape)
+        # Newton/Krylov run at promoted (>= f32) precision even for low-
+        # precision states; the step result is cast back at the boundary
+        wdt = jnp.promote_types(y.dtype, jnp.float32)
         z_flat, nstats = newton_solve(
-            residual_flat, make, y.reshape(-1), self.setup.newton_cfg
+            residual_flat, make, y.reshape(-1).astype(wdt),
+            self.setup.newton_cfg
         )
-        y1 = z_flat.reshape(shape)
+        # Newton iterates may promote (f32 solver internals); carry the
+        # state dtype through (bf16 time integration / scan-carry dtype)
+        y1 = z_flat.reshape(shape).astype(y.dtype)
         stats = StepStats(
             newton_iters=nstats.iters.astype(jnp.int32),
             newton_converged=nstats.converged,
@@ -426,28 +440,32 @@ class Theta:
             def f1_flat(zf):
                 return self.f(t1, zf.reshape(shape), params).reshape(-1)
 
+            wdt_ = jnp.promote_types(y.dtype, jnp.float32)
             solver = make_stage_solver(
                 f1_flat,
-                y1.reshape(-1),
+                y1.reshape(-1).astype(wdt_),
                 self.mass,
                 sigma=1.0,
                 gamma=dt * th,
                 cfg=setup.lin_cfg,
                 cached_J_blocks=frozen,
             )
-        w = solver.solve_transpose(lam.reshape(-1)).reshape(shape)
+        wdt = jnp.promote_types(y.dtype, jnp.float32)
+        w = solver.solve_transpose(
+            lam.reshape(-1).astype(wdt)
+        ).reshape(shape)
 
         # lam_prev = M^T w + dt (1-theta) J0^T w ; grads via vjps
-        _, vjp1 = jax.vjp(lambda yy, pp: self.f(t1, yy, pp), y1, params)
-        _, gp1 = vjp1((dt * th) * w)
+        fo1, vjp1 = jax.vjp(lambda yy, pp: self.f(t1, yy, pp), y1, params)
+        _, gp1 = vjp1(((dt * th) * w).astype(fo1.dtype))
         lam_prev = _mass_apply_T(self.mass, w)
         gp = gp1
         if th < 1.0:
-            _, vjp0 = jax.vjp(lambda yy, pp: self.f(t, yy, pp), y, params)
-            dly0, gp0 = vjp0((dt * (1.0 - th)) * w)
+            fo0, vjp0 = jax.vjp(lambda yy, pp: self.f(t, yy, pp), y, params)
+            dly0, gp0 = vjp0(((dt * (1.0 - th)) * w).astype(fo0.dtype))
             lam_prev = lam_prev + dly0
             gp = tree_add(gp, gp0)
-        return lam_prev, gp
+        return lam_prev.astype(lam.dtype), gp
 
 
 class ARKIMEX:
@@ -623,9 +641,13 @@ class ARKIMEX:
                         tiI, params_im, dt * gii, zf, shape
                     )
                 z_flat, nstats = newton_solve(
-                    residual_flat, make, G.reshape(-1), self.setup.newton_cfg
+                    residual_flat, make,
+                    G.reshape(-1).astype(
+                        jnp.promote_types(y.dtype, jnp.float32)
+                    ),
+                    self.setup.newton_cfg
                 )
-                Yi = z_flat.reshape(shape)
+                Yi = z_flat.reshape(shape).astype(y.dtype)
                 total_newton = total_newton + nstats.iters.astype(jnp.int32)
                 all_conv = jnp.logical_and(all_conv, nstats.converged)
             else:
@@ -642,7 +664,8 @@ class ARKIMEX:
         aux = jnp.stack(Ys)
         stats = StepStats(newton_iters=total_newton, newton_converged=all_conv)
         self._last_ks = (kI, kE)  # trace-local; used by step_embedded only
-        return y1, aux, stats
+        # carry/store at state dtype (see ExplicitRK.step)
+        return y1.astype(y.dtype), aux.astype(y.dtype), stats
 
     def step_embedded(self, t, dt, y, params):
         """Step + embedded-error estimate (ARK pairs with b_err)."""
@@ -801,10 +824,10 @@ class ARKIMEX:
                     uh = uh + (dt * aE[m][i]) * xis[m]
             tiI = t + self._cI[i] * dt
             tiE = t + self._cE[i] * dt
-            _, vjpI = jax.vjp(lambda yy, pp: self.f_im(tiI, yy, pp), Ys[i], params_im)
-            _, vjpE = jax.vjp(lambda yy, pp: self.f_ex(tiE, yy, pp), Ys[i], params_ex)
-            dyI, gI = vjpI(u)
-            dyE, gE = vjpE(uh)
+            foI, vjpI = jax.vjp(lambda yy, pp: self.f_im(tiI, yy, pp), Ys[i], params_im)
+            foE, vjpE = jax.vjp(lambda yy, pp: self.f_ex(tiE, yy, pp), Ys[i], params_ex)
+            dyI, gI = vjpI(u.astype(foI.dtype))
+            dyE, gE = vjpE(uh.astype(foE.dtype))
             p = dyI + dyE
             gii = aI[i][i]
             if gii != 0.0:
@@ -819,15 +842,21 @@ class ARKIMEX:
 
                     solver = make_stage_solver(
                         f_flat,
-                        Ys[i].reshape(-1),
+                        Ys[i].reshape(-1).astype(
+                            jnp.promote_types(y.dtype, jnp.float32)
+                        ),
                         None,
                         sigma=1.0,
                         gamma=dt * gii,
                         cfg=setup.lin_cfg,
                         cached_J_blocks=frozen,
                     )
-                xi = solver.solve_transpose(p.reshape(-1)).reshape(shape)
-                _, gI2 = vjpI((dt * gii) * xi)
+                xi = solver.solve_transpose(
+                    p.reshape(-1).astype(
+                        jnp.promote_types(y.dtype, jnp.float32)
+                    )
+                ).reshape(shape)
+                _, gI2 = vjpI(((dt * gii) * xi).astype(foI.dtype))
                 gI = tree_add(gI, gI2)
             else:
                 xi = p
@@ -835,4 +864,4 @@ class ARKIMEX:
             g_im = tree_add(g_im, gI)
             g_ex = tree_add(g_ex, gE)
             lam_prev = lam_prev + xi
-        return lam_prev, (g_im, g_ex)
+        return lam_prev.astype(lam.dtype), (g_im, g_ex)

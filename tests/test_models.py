@@ -83,6 +83,44 @@ def test_sqnxt_forward_and_grad():
     assert any(n > 0 for n in norms)
 
 
+@pytest.mark.slow
+def test_sqnxt_bf16_mixed_precision():
+    """bf16 activation/ODE-state stream: params + grads + logits stay f32."""
+    model = SqueezeNextODE(num_classes=10, width_x=0.25, method="euler",
+                           Nt=1, dtype="bf16")
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    # params stay full-precision (f32; f64 under the x64 test config)
+    full = (jnp.float32, jnp.float64)
+    for a in jax.tree_util.tree_leaves(params):
+        assert a.dtype in full
+    logits = model.apply(params, x, training=False)
+    assert logits.shape == (2, 10)
+    assert logits.dtype == jnp.float32
+
+    def loss(p):
+        return jnp.sum(model.apply(p, x, training=True) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(a.dtype in full for a in leaves)
+    norms = [float(jnp.linalg.norm(a)) for a in leaves]
+    assert all(np.isfinite(norms))
+    assert any(n > 0 for n in norms)
+
+    # close to the f32 model on the same params (loose: bf16 stream)
+    model32 = SqueezeNextODE(num_classes=10, width_x=0.25, method="euler",
+                             Nt=1)
+    logits32 = model32.apply(params, x, training=False)
+    # bf16 noise is amplified by the per-layer normalizations, so the
+    # elementwise tolerance is loose; the argmax check is the functional one
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits32),
+                               atol=0.25 * float(jnp.abs(logits32).max()))
+    assert np.array_equal(np.argmax(np.asarray(logits), -1),
+                          np.argmax(np.asarray(logits32), -1))
+
+
 def test_grand_segment_ops():
     scores = jnp.asarray([1.0, 2.0, 3.0, 0.0])
     seg = jnp.asarray([0, 0, 1, 1])
