@@ -89,6 +89,10 @@ class AdaptiveStats(NamedTuple):
 
 
 def _wrms(err, y0, y1, rtol, atol):
+    # the weighted norm runs at >= f32 even for low-precision states (a bf16
+    # mean over thousands of elements loses the digits the controller needs)
+    wdt = jnp.promote_types(err.dtype, jnp.float32)
+    err, y0, y1 = err.astype(wdt), y0.astype(wdt), y1.astype(wdt)
     scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
     return jnp.sqrt(jnp.mean((err / scale) ** 2))
 
@@ -141,7 +145,10 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
         prep = getattr(stepper, "prepare", None)
         if prep is None:
             return stepper
-        return prep(jnp.asarray(t_out[0], y0.dtype), y0, params, dt0=None)
+        return prep(
+            jnp.asarray(t_out[0],
+                        jnp.promote_types(y0.dtype, jnp.float32)),
+            y0, params, dt0=None)
 
     # -- CAMS plan over the static trial axis --------------------------------
 
@@ -162,8 +169,11 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
             stp = _prepared(y0, params)
             _, _, aux_shape, _ = jax.eval_shape(
                 lambda y: stp.step_embedded(
-                    jnp.asarray(t_out[0], y0.dtype),
-                    jnp.asarray(dt0, y0.dtype), y, params),
+                    jnp.asarray(t_out[0],
+                                jnp.promote_types(y0.dtype, jnp.float32)),
+                    jnp.asarray(dt0,
+                                jnp.promote_types(y0.dtype, jnp.float32)),
+                    y, params),
                 y0,
             )
             aux_sz = sum(int(np.prod(a.shape))
@@ -177,8 +187,11 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
     def _aux_shape(stp, y0, params):
         _, _, aux_shape, _ = jax.eval_shape(
             lambda y: stp.step_embedded(
-                jnp.asarray(t_out[0], y0.dtype),
-                jnp.asarray(dt0, y0.dtype), y, params),
+                jnp.asarray(t_out[0],
+                            jnp.promote_types(y0.dtype, jnp.float32)),
+                jnp.asarray(dt0,
+                            jnp.promote_types(y0.dtype, jnp.float32)),
+                y, params),
             y0,
         )
         return aux_shape
@@ -197,7 +210,10 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
     def forward(y0, params):
         stp = _prepared(y0, params)
         dtype = y0.dtype
-        touts = jnp.asarray(t_out, dtype)
+        # time/dt/controller scalars ride at >= f32: bf16 time arithmetic
+        # cannot accumulate t+dt or land on outputs (eps ~ 8e-3)
+        tdtype = jnp.promote_types(dtype, jnp.float32)
+        touts = jnp.asarray(t_out, tdtype)
         t_end = touts[-1]
         outputs0 = jnp.broadcast_to(y0, (n_out,) + y0.shape).astype(dtype)
 
@@ -240,7 +256,7 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
             target = touts[jnp.minimum(out_i, n_out - 1)]
             # MATCHSTEP: truncate onto the next requested output
             dt_try = jnp.minimum(dt, target - t)
-            dt_try = jnp.maximum(dt_try, jnp.asarray(0.0, dtype))
+            dt_try = jnp.maximum(dt_try, jnp.asarray(0.0, tdtype))
 
             if kind == "checkpoint":
                 # uniform trial-axis checkpoints: store y at segment starts
@@ -337,10 +353,10 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
             return new_carry, rec
 
         init = (
-            jnp.asarray(t_out[0], dtype), y0, jnp.asarray(dt0, dtype),
+            jnp.asarray(t_out[0], tdtype), y0, jnp.asarray(dt0, tdtype),
             jnp.asarray(1), outputs0, jnp.asarray(0), jnp.asarray(0),
             jnp.asarray(0, jnp.int32), jnp.asarray(True),
-            jnp.asarray(1.0, dtype), bufs0,
+            jnp.asarray(1.0, tdtype), bufs0,
         )
         carry, recs = lax.scan(body, init, xs)
         (_, _, _, out_i, outputs, n_acc, n_rej, nit, conv, _, bufs) = carry

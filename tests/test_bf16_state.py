@@ -86,3 +86,43 @@ def test_bf16_state_imex():
     np.testing.assert_allclose(
         float(g_b[1]["w"]), float(g_f[1]["w"]), rtol=3e-2
     )
+
+
+def test_bf16_state_adaptive():
+    """Adaptive controller over a bf16 state: time/dt/error-norm arithmetic
+    must ride at f32 (bf16 eps ~8e-3 cannot accumulate t+dt or land on
+    outputs), while the carried state stays bf16."""
+    import pnode_tpu
+
+    pnode_tpu.init(["p", "-ts_adapt_type", "basic", "-ts_rtol", "1e-2",
+                    "-ts_atol", "1e-2"])
+    y0 = jnp.linspace(0.1, 1.0, 32, dtype=jnp.float32).reshape(4, 8)
+    params = {"w": jnp.float32(0.5)}
+    t_out = np.array([0.0, 1.0])  # adaptive t_out[0] = initial time
+
+    def run(dtype):
+        o = ODESolver()
+        yy = y0.astype(dtype)
+        o.setupTS(yy, (_f, params), step_size=0.1, method="dopri5",
+                  enable_adjoint=True)
+
+        def loss(p, y):
+            s, _ = o.solve(y, t_out, params=p, with_adjoint=True)
+            return jnp.sum(s[-1].astype(jnp.float32))
+
+        s, _ = o.solve(yy, t_out, params=params)
+        g = jax.grad(loss)(params, yy)
+        return s, g
+
+    sol_b, g_b = run(jnp.bfloat16)
+    sol_f, g_f = run(jnp.float32)
+    assert sol_b.dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(sol_b, np.float32)))
+    # landed on the output and produced the f32 trajectory to bf16 accuracy
+    np.testing.assert_allclose(
+        np.asarray(sol_b[-1], np.float32), np.asarray(sol_f[-1], np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+    np.testing.assert_allclose(
+        float(g_b["w"]), float(g_f["w"]), rtol=5e-2
+    )
