@@ -189,10 +189,20 @@ class SqueezeNextODE:
             in_ch = ch
         self.pieces.append(("head", Head(width_x, num_classes, dtype=dtype)))
         self._solvers = {}
+        self._init_jit = None
 
     # -- parameter init ---------------------------------------------------
 
     def init(self, key, x):
+        """Initialize all piece params as ONE jitted program: the eager
+        per-op version dispatches thousands of tiny conv/norm ops for the
+        shape-propagating forwards (minutes of host wall time on slow
+        hosts / tunneled backends)."""
+        if self._init_jit is None:
+            self._init_jit = jax.jit(self._init_impl)
+        return self._init_jit(key, x)
+
+    def _init_impl(self, key, x):
         params = []
         h = x
         keys = jax.random.split(key, len(self.pieces))
@@ -208,7 +218,11 @@ class SqueezeNextODE:
         return params
 
     def _ode_solver(self, mod, shape, dtype):
-        key = (id(mod), shape, str(dtype))
+        # key on the module CONFIG, not identity: all ODE blocks of a stage
+        # share one dim, hence one traced solver (flax modules are pure
+        # functions of their hyperparameters) — ~4x less host tracing than
+        # one solver per block instance
+        key = (repr(mod), shape, str(dtype))
         ode = self._solvers.get(key)
         if ode is None:
             ode = self._ODESolver()
