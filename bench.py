@@ -394,6 +394,18 @@ def main():
         "hbm_bytes_per_step": round(rf["hbm_bytes_per_unit"], 1),
         "compile_s": info["compile_s"],
     }
+    try:
+        from pnode_tpu.ops.fused_ark_adjoint import (
+            auto_tier_decisions, stiff_dot_precision,
+        )
+
+        resolved = sorted({v[0] for v in auto_tier_decisions().values()})
+        rec["stiff_tier"] = {
+            "configured": stiff_dot_precision(),
+            "resolved": resolved or None,
+        }
+    except Exception:
+        pass
     print(
         f"roofline: mfu={rec['mfu']} hbm_frac={rec['hbm_frac']} "
         f"flops/step={rec['flops_per_step']:.3g} "

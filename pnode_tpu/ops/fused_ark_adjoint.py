@@ -59,26 +59,141 @@ def stiff_dot_precision() -> str:
     """Precision tier for the STIFF operator dots (J apply, inverse apply)
     in the fused step kernels, from ``-pnode_fused_ark_precision``:
 
-    - "highest" (default): fp32-exact 6-pass emulation — the round-2
-      hardware fix (bf16 single-pass silently broke KS training).
-    - "high": bf16x3 3-pass (~2^-21 error vs fp32's 2^-24) — recovers
-      part of the HIGHEST throughput cost; only use after
-      tools/hardware_smoke.py passes AND the training trajectory
-      reproduces on the chip. Mosaic rejects the Precision.HIGH enum
-      inside kernels, so _stiff_dot emulates it with an explicit
-      two-term bf16 split (xh@Ah + xh@Al + xl@Ah).
+    - "auto" (default): measure, at trace time, the bf16x3 tier's error on
+      the PROBLEM'S OWN frozen operators against fp64 (host-side emulation
+      of the exact kernel arithmetic — see resolve_stiff_precision) and
+      pick "high" when the composed per-step error clears
+      ``-pnode_fused_ark_auto_tol`` (default 1e-2 = the hardware_smoke
+      stiff-J gate bound; the probe itself is ~7x more conservative than
+      the gate, measured at the validated KS config), else "highest".
+      Falls back to "highest" whenever the operators are not compile-time
+      constants.
+    - "highest": fp32-exact 6-pass emulation — the round-2 hardware fix
+      (bf16 single-pass silently broke KS training).
+    - "high": bf16x3 3-pass (~2^-21 error vs fp32's 2^-24) — +6-19%
+      headline throughput, fully gate- and trajectory-validated on KS
+      post reverse-collapse (RESULTS.md round 3); "auto" selects it only
+      after measuring it safe for the operators at hand. Mosaic rejects
+      the Precision.HIGH enum inside kernels, so _stiff_dot emulates it
+      with an explicit two-term bf16 split (xh@Ah + xh@Al + xl@Ah).
     - "default": single-pass bf16 — known WRONG for stiff operators on
       real hardware; exposed for measurement only.
 
     Read at trace time (static for the compiled program)."""
     from ..options import Options
 
-    name = Options().get_string("pnode_fused_ark_precision", "highest")
-    if name not in ("highest", "high", "default"):
+    name = Options().get_string("pnode_fused_ark_precision", "auto")
+    if name not in ("auto", "highest", "high", "default"):
         raise ValueError(
-            f"-pnode_fused_ark_precision {name!r}: use highest|high|default"
+            f"-pnode_fused_ark_precision {name!r}: "
+            "use auto|highest|high|default"
         )
     return name
+
+
+# (operator-digest -> (tier, measured_err)) memo for the auto tier; the
+# frozen operators are per-(problem, dt) constants so this stays tiny
+_AUTO_TIER_MEMO: dict = {}
+
+
+def auto_tier_decisions() -> dict:
+    """Measured auto-tier decisions so far: digest -> (tier, rel_err)."""
+    return dict(_AUTO_TIER_MEMO)
+
+
+def _emulate_high_dot(x32: np.ndarray, A32: np.ndarray) -> np.ndarray:
+    """Host-side fp32 emulation of _stiff_dot's "high" tier (bf16x3).
+
+    bf16 x bf16 products are exact in fp32 (8+8 mantissa bits < 24), and
+    numpy's sgemm accumulates in fp32 like the MXU, so this reproduces the
+    kernel's dominant error term (the bf16 operand splits + the dropped
+    xl@Al cross term) faithfully enough to bound it."""
+    import ml_dtypes
+
+    bf = ml_dtypes.bfloat16
+    xh = x32.astype(bf).astype(np.float32)
+    xl = (x32 - xh).astype(bf).astype(np.float32)
+    Ah = A32.astype(bf).astype(np.float32)
+    Al = (A32 - Ah).astype(bf).astype(np.float32)
+    return xh @ Ah + xh @ Al + xl @ Ah
+
+
+def resolve_stiff_precision(J, inv_op, n_applies: int = 4) -> str:
+    """Resolve the -pnode_fused_ark_precision tier for a concrete operator
+    pair, measuring the "auto" tier per problem.
+
+    The round-2 lesson was that low-precision stiff dots fail through
+    COMPOSITION: a ~0.4% per-apply error is harmless once but O(1)-wrong
+    compounded across stages, and how much it amplifies depends on the
+    operators themselves (pre reverse-collapse the J-then-inverse chain
+    amplified bf16x3 to 6.2e-2 and failed the gate; post-collapse the same
+    tier composes to 3.7e-4 and passes — RESULTS.md round 3). So "auto"
+    replays the kernels' actual stiff-dot chain (``n_applies`` inverse
+    applies, one J apply — the post-collapse step structure) in host fp32
+    with the bf16x3 split emulated exactly, against fp64 ground truth on
+    unit probes, and picks "high" only when the composed relative error
+    clears ``-pnode_fused_ark_auto_tol`` (default 1e-2 — the on-chip
+    stiff-J composition gate bound; the probe's J-after-smoothing-chain
+    structure makes it CONSERVATIVE relative to the gate: at the
+    hardware-validated KS config the probe reads 2.5e-3 where the on-chip
+    gate reads 3.7e-4, so clearing the gate bound on the probe leaves
+    ~7x real margin). Tracers (non-constant operators: adaptive inline
+    inverses, learned implicit parts) always resolve to "highest"."""
+    name = stiff_dot_precision()
+    if name != "auto":
+        return name
+    if J is None or inv_op is None:
+        return "highest"
+    if isinstance(J, jax.core.Tracer) or isinstance(inv_op, jax.core.Tracer):
+        return "highest"
+    try:
+        Jn = np.asarray(jax.device_get(J), dtype=np.float64)
+        In = np.asarray(jax.device_get(inv_op), dtype=np.float64)
+    except Exception:
+        return "highest"
+    # accept the (1, d, d) shared-block layout the steppers carry (passing
+    # the un-indexed parent avoids staging `J[0]` into a tracer mid-trace)
+    if Jn.ndim == 3:
+        Jn = Jn[0]
+    if In.ndim == 3:
+        In = In[0]
+    import hashlib
+
+    from ..options import Options
+
+    tol = Options().get_real("pnode_fused_ark_auto_tol", 1e-2)
+    key = (Jn.shape, int(n_applies), float(tol),
+           hashlib.sha1(Jn.tobytes() + In.tobytes()).hexdigest())
+    hit = _AUTO_TIER_MEMO.get(key)
+    if hit is not None:
+        return hit[0]
+    d = Jn.shape[-1]
+    rng = np.random.default_rng(20260817)
+    X = rng.standard_normal((8, d))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    ref = X.copy()
+    emu = X.astype(np.float32)
+    J32 = Jn.astype(np.float32)
+    I32 = In.astype(np.float32)
+    for _ in range(max(1, int(n_applies))):
+        ref = ref @ In
+        emu = _emulate_high_dot(emu, I32)
+    refJ = ref @ Jn
+    emuJ = _emulate_high_dot(emu, J32)
+
+    def _rel(a, b):
+        num = np.linalg.norm(a.astype(np.float64) - b, axis=1)
+        den = np.maximum(np.linalg.norm(b, axis=1), 1e-30)
+        return float(np.max(num / den))
+
+    err = max(_rel(emu, ref), _rel(emuJ, refJ))
+    tier = "high" if err < tol else "highest"
+    _AUTO_TIER_MEMO[key] = (tier, err)
+    if Options().get_bool("pnode_fused_ark_auto_verbose", False):
+        print(f"[pnode] fused-ARK auto precision: composed bf16x3 error "
+              f"{err:.3e} vs tol {tol:.1e} -> {tier} "
+              f"(d={d}, n_applies={n_applies})")
+    return tier
 
 
 def _stiff_dot(x, A, prec: str):
@@ -327,6 +442,7 @@ def fused_ark_step_adj(
     sign: float = -1.0,
     interpret: bool = False,
     weight_dtype: str = "f32",
+    stiff_prec: str = None,
 ) -> Tuple[jnp.ndarray, Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]]:
     """One fused reverse ARK step. Returns (lam_prev, (dWs, dbs)).
 
@@ -408,7 +524,7 @@ def fused_ark_step_adj(
         tuple(float(x) for x in bI),
         tuple(float(x) for x in bE),
         float(sign),
-        stiff_dot_precision(),
+        stiff_prec or resolve_stiff_precision(J_dense, inv_op, n_applies=s),
     )
     outs = pl.pallas_call(
         kern,

@@ -45,7 +45,7 @@ except Exception:  # pragma: no cover
 
 from .fused_mlp import _ACTS, _pad2, _round_up
 from .fused_ark_adjoint import (
-    _stiff_dot, fused_ark_fits, stiff_dot_precision,
+    _stiff_dot, fused_ark_fits, resolve_stiff_precision,
 )
 
 
@@ -166,6 +166,7 @@ def fused_ark_step_fwd(
     interpret: bool = False,
     b_err=None,
     weight_dtype: str = "f32",
+    stiff_prec: str = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """One fused forward ARK step. Returns (y1, Ys stacked (s, B, d)), or
     (y1, err, Ys) when ``b_err = (b_im_err, b_ex_err)`` is given (the
@@ -244,7 +245,10 @@ def fused_ark_step_fwd(
         tuple(float(x) for x in bE),
         dI, dE,
         float(sign),
-        stiff_dot_precision(),
+        # callers that resolve from the un-indexed frozen constants pass
+        # stiff_prec; direct calls resolve from the operands (which are
+        # concrete outside a trace)
+        stiff_prec or resolve_stiff_precision(J_dense, inv_op, n_applies=s),
     )
     outs = pl.pallas_call(
         kern,

@@ -578,12 +578,13 @@ class ARKIMEX:
             if fused is not None:
                 from .ops.fused_ark_forward import fused_ark_step_fwd
 
-                spec, J, inv_op, interpret, wdt = fused
+                spec, J, inv_op, interpret, wdt, sprec = fused
                 y1, aux = fused_ark_step_fwd(
                     (self._aI, self._aE, self._bI, self._bE), dt, y, J,
                     inv_op, spec["Ws"], spec["bs"],
                     activation=spec["activation"], sign=spec["sign"],
                     interpret=interpret, weight_dtype=wdt,
+                    stiff_prec=sprec,
                 )
                 return y1, aux, self._fused_stats()
         return self._step_generic(t, dt, y, params)
@@ -683,13 +684,13 @@ class ARKIMEX:
             if fused is not None:
                 from .ops.fused_ark_forward import fused_ark_step_fwd
 
-                spec, J, inv_op, interpret, wdt = fused
+                spec, J, inv_op, interpret, wdt, sprec = fused
                 y1, err, aux = fused_ark_step_fwd(
                     (self._aI, self._aE, self._bI, self._bE), dt, y, J,
                     inv_op, spec["Ws"], spec["bs"],
                     activation=spec["activation"], sign=spec["sign"],
                     interpret=interpret, b_err=(self._bIe, self._bEe),
-                    weight_dtype=wdt,
+                    weight_dtype=wdt, stiff_prec=sprec,
                 )
                 return y1, err, aux, self._fused_stats()
         y1, aux, stats = self._step_generic(t, dt, y, params)
@@ -744,13 +745,19 @@ class ARKIMEX:
             return None
         gamma = next(iter(gammas))
         inv_op = None
+        inv_parent = None
         cache = setup.solver_cache
         if cache is not None:
             solver = cache.get(gamma)
             if (solver is not None
                     and getattr(solver, "_inv", None) is not None
                     and solver._shared):
-                inv_op = solver._inv[0]
+                # keep the UN-indexed parent around: under an active trace
+                # even `concrete[0]` stages into a tracer, so the auto
+                # precision tier must be resolved from the parent (the
+                # compile-time-frozen constant), not the indexed view
+                inv_parent = solver._inv
+                inv_op = inv_parent[0]
         if inv_op is None:
             if dt is None:
                 return None
@@ -768,7 +775,9 @@ class ARKIMEX:
         spec = self.fused_ex_spec(params_ex)
         if spec is None:
             return None
-        from .ops.fused_ark_adjoint import pick_weight_dtype
+        from .ops.fused_ark_adjoint import (
+            pick_weight_dtype, resolve_stiff_precision,
+        )
 
         d = setup.frozen_J_blocks.shape[-1]
         # "auto" keeps fp32 weight storage where it fits (KS) and falls
@@ -778,7 +787,16 @@ class ARKIMEX:
                                 with_grad_accumulators=for_reverse)
         if wdt is None:
             return None
-        return spec, setup.frozen_J_blocks[0], inv_op, interpret, wdt
+        # resolve the stiff-dot precision tier HERE, from the un-indexed
+        # frozen constants (indexed views are tracers under a trace, which
+        # would silently degrade "auto" to "highest" on the hot path)
+        stiff_prec = resolve_stiff_precision(
+            setup.frozen_J_blocks,
+            inv_parent if inv_parent is not None else inv_op,
+            n_applies=self.tab.stages,
+        )
+        return (spec, setup.frozen_J_blocks[0], inv_op, interpret, wdt,
+                stiff_prec)
 
     def step_adj(self, t, dt, y, params, aux, lam):
         params_im, params_ex = params
@@ -797,11 +815,12 @@ class ARKIMEX:
         if fused is not None:
             from .ops.fused_ark_adjoint import fused_ark_step_adj
 
-            spec, J, inv_op, interpret, wdt = fused
+            spec, J, inv_op, interpret, wdt, sprec = fused
             lam_prev, (dWs, dbs) = fused_ark_step_adj(
                 (aI, aE, bI, bE), dt, aux, lam, J, inv_op,
                 spec["Ws"], spec["bs"], activation=spec["activation"],
                 sign=spec["sign"], interpret=interpret, weight_dtype=wdt,
+                stiff_prec=sprec,
             )
             g_ex = spec["rebuild"](dWs, dbs)
             return lam_prev, (tree_zeros_like(params_im), g_ex)

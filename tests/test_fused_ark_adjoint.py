@@ -16,8 +16,13 @@ from pnode_tpu.models import KSFuncEX, KSFuncIM
 
 def _build(batch, nx, flags):
     pnode_tpu.clear_options()
+    # pin the fp32-exact stiff-dot tier: these tests compare fused-kernel
+    # math against the generic (HIGHEST-precision) path at tight
+    # tolerances; the auto tier's bf16x3 choice is tested separately
+    # (test_auto_precision_tier.py)
     pnode_tpu.init(
-        ["p", "-snes_type", "ksponly", "-ts_arkimex_type", "3"] + flags
+        ["p", "-snes_type", "ksponly", "-ts_arkimex_type", "3",
+         "-pnode_fused_ark_precision", "highest"] + flags
     )
     dtype = jnp.float32
     im = KSFuncIM(nx=nx)
@@ -198,11 +203,17 @@ def test_fused_kernels_use_highest_precision_stiff_dots():
     TPU's default single-pass bf16 dot loses ~0.4% per apply, which
     compounds across ARK stages into an O(1)-wrong step and silently
     plateaued KS training while every CPU test passed (CPU dots are exact
-    fp32, so only a jaxpr-level check can guard this off-hardware)."""
+    fp32, so only a jaxpr-level check can guard this off-hardware).
+
+    Pinned to the explicit "highest" tier: the default is now "auto",
+    which measures the bf16x3 tier per problem (test_auto_stiff_tier)."""
     import jax
+    from pnode_tpu.options import Options
     from pnode_tpu.ops.fused_ark_forward import fused_ark_step_fwd
     from pnode_tpu.ops.fused_ark_adjoint import fused_ark_step_adj
     from pnode_tpu.tableaus import get_ark_tableau
+
+    Options().set("pnode_fused_ark_precision", "highest")
 
     tab = get_ark_tableau("3")
     aI = [[float(x) for x in row] for row in tab.a_im]
