@@ -147,6 +147,89 @@ def bench_sinode(args, nx, batch, dt, metric):
     # host array: device-resident times cost a tunnel transfer per trace
     t_out = np.array([0.0, dt])
     params = (vim, vex)
+
+    # ---- fused training-LOOP kernel path (ops/fused_train_loop.py) ----
+    # The complete training iteration (ARK-IMEX forward + stage-exact
+    # reverse + Adam) runs INSIDE one Pallas kernel, `inner` iterations
+    # per launch with the weight stack and Adam moments VMEM-resident
+    # across the launch. Measured at the KS config: ~7.5 us device cost
+    # per iteration vs ~13 us for the scanned per-step-fused path (the
+    # scan pays XLA glue + optimizer HLO between kernel calls). Asserted
+    # equal to the generic ODESolver + optax.adam loop per-step in
+    # tests/test_fused_train_loop.py. Same static gate as the per-step
+    # fused kernels + a VMEM-fit check; --no_fused_loop forces the scan.
+    if use_pallas and not args.no_fused_loop:
+        from pnode_tpu.ops.fused_train_loop import (
+            fused_train_loop,
+            fused_train_loop_cost,
+            fused_train_loop_fits,
+        )
+
+        stp = ode._stepper.prepare(0.0, y_tmpl, params, dt0=jnp.float32(dt))
+        fused = stp._fused_reverse_args(params, dt=jnp.float32(dt))
+        if fused is not None:
+            spec, J_blk, inv_op, _interp, wdt, stiff_prec = fused
+            dims = [int(w.shape[1]) for w in spec["Ws"]]
+            if wdt == "f32" and fused_train_loop_fits(batch, nx, dims):
+                inner = max(1, int(args.inner_steps))
+                tbl = (stp._aI, stp._aE, stp._bI, stp._bE)
+                Ws, bs = list(spec["Ws"]), list(spec["bs"])
+                zW = [jnp.zeros_like(w) for w in Ws]
+                zb = [jnp.zeros_like(b) for b in bs]
+                k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+                y0 = jax.random.normal(k1, (batch, nx), dtype)
+                target = y0 + 0.05 * jax.random.normal(
+                    k2, (batch, nx), dtype)
+                y_stack = jnp.broadcast_to(y0, (inner, batch, nx))
+                tgt_stack = jnp.broadcast_to(target, (inner, batch, nx))
+
+                def loop(y_s, t_s, Ws, bs, m, v, t0):
+                    return fused_train_loop(
+                        tbl, dt, y_s, t_s, J_blk, inv_op, Ws, bs, m, v,
+                        t0, activation=spec["activation"],
+                        sign=spec["sign"], lr=5e-3,
+                        stiff_prec=stiff_prec,
+                    )
+
+                t0 = time.time()
+                lowered = jax.jit(loop).lower(
+                    y_stack, tgt_stack, Ws, bs, (zW, zb), (zW, zb), 0)
+                trace_s = time.time() - t0
+                t0 = time.time()
+                compiled = lowered.compile()
+                compile_s = time.time() - t0
+                print(f"fused-loop trace: {trace_s:.1f}s  "
+                      f"compile: {compile_s:.1f}s", file=sys.stderr)
+
+                state = {"w": (Ws, bs, (zW, zb), (zW, zb)), "t": 0}
+
+                def step():
+                    w, b, m, v = state["w"]
+                    o = compiled(y_stack, tgt_stack, w, b, m, v,
+                                 state["t"])
+                    state["w"] = (o[0], o[1], o[2], o[3])
+                    state["t"] += inner
+                    return o[4]
+
+                t0 = time.time()
+                losses = step()
+                first = _sync(losses)
+                print(f"first launch: {time.time()-t0:.1f}s  "
+                      f"mean loss={first / inner:.4g}", file=sys.stderr)
+                _sync(step())
+
+                med, best = _windows(step, n_steps, args.windows)
+                efl, eby = fused_train_loop_cost(
+                    tbl, batch, nx, dims, inner)
+                info = {
+                    "compile_s": round(trace_s + compile_s, 1),
+                    "compiled": compiled,
+                    "work_per_program": inner,
+                    "extra_flops": float(efl),
+                    "extra_bytes": float(eby),
+                }
+                return med * inner, best * inner, info
+        print("fused train loop not applicable; scan path", file=sys.stderr)
     # flat-vector Adam: the unflattened update is ~100 tiny per-leaf ops
     # whose dispatch latency rivaled the solve itself on the tunneled chip
     opt = optax.flatten(optax.adam(5e-3))
@@ -299,6 +382,9 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--no_pallas", action="store_true")
+    ap.add_argument("--no_fused_loop", action="store_true",
+                    help="skip the fused training-loop kernel; benchmark "
+                         "the scanned per-step path instead")
     ap.add_argument("--inner_steps", type=int, default=400,
                     help="training steps per dispatch (lax.scan); 1 = "
                          "per-step host dispatch mode")

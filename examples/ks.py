@@ -52,6 +52,13 @@ parser.add_argument("--linear_solver", type=str,
 parser.add_argument("--fixed_jacobian", action="store_true")
 parser.add_argument("--use_pallas", action="store_true",
                     help="fused Pallas MLP for the explicit dynamics (TPU)")
+parser.add_argument("--fused_loop", action="store_true",
+                    help="run each training epoch as ONE fused Pallas "
+                         "kernel launch (ops/fused_train_loop.py): forward "
+                         "ARK step + stage-exact reverse + Adam in-kernel, "
+                         "weights/moments VMEM-resident. Requires the "
+                         "fused-kernel gate (imex + ksponly + "
+                         "fixed_jacobian, time_window_size 1, f32, TPU)")
 parser.add_argument("--node", action="store_true",
                     help="autodiff-through-solver baseline (the reference's "
                          "KS_node torchdiffeq comparison)")
@@ -201,6 +208,57 @@ def main():
         best_val = ck["best_val"]
         print(f"hotstart from epoch {start_epoch} (best val {best_val:.6e})")
 
+    # --fused_loop: the whole epoch as one Pallas kernel launch. The
+    # kernel owns the explicit-part weights + Adam moments in VMEM for
+    # the launch; params are rebuilt into the flax tree at epoch end for
+    # validation/checkpointing (asserted equal to this generic loop in
+    # tests/test_fused_train_loop.py). LR rides an SMEM scalar, so the
+    # plateau schedule never recompiles.
+    fused_ctx = None
+    if args.fused_loop:
+        from pnode_tpu.ops.fused_train_loop import (
+            fused_train_loop,
+            fused_train_loop_fits,
+        )
+
+        fused = None
+        if (args.pnode_model == "imex" and not args.node and W == 1
+                and dtype == jnp.float32):
+            stp = ode._stepper.prepare(
+                0.0, y_tmpl, params, dt0=jnp.asarray(args.step_size, dtype))
+            fused = stp._fused_reverse_args(
+                params, dt=jnp.asarray(args.step_size, dtype))
+        if fused is None:
+            raise SystemExit(
+                "--fused_loop requires the fused-kernel gate: "
+                "--pnode_model imex --fixed_jacobian -snes_type ksponly "
+                "(frozen linear implicit part), --time_window_size 1, "
+                "f32, TPU backend")
+        spec, J_blk, inv_op, _itp, wdt, stiff_prec = fused
+        dims = [int(w.shape[1]) for w in spec["Ws"]]
+        if wdt != "f32" or not fused_train_loop_fits(
+                args.batch_size, NX, dims):
+            raise SystemExit("--fused_loop: configuration does not fit "
+                             "VMEM (weights + Adam moments resident)")
+        tbl = (stp._aI, stp._aE, stp._bI, stp._bE)
+
+        @jax.jit
+        def fused_epoch(y_stack, tgt_stack, Ws, bs, m, v, t0, lr):
+            return fused_train_loop(
+                tbl, float(args.step_size), y_stack, tgt_stack, J_blk,
+                inv_op, Ws, bs, m, v, t0, activation=spec["activation"],
+                sign=spec["sign"], lr=lr, stiff_prec=stiff_prec)
+
+        zW = [jnp.zeros_like(w) for w in spec["Ws"]]
+        zb = [jnp.zeros_like(b) for b in spec["bs"]]
+        fused_ctx = {
+            "run": fused_epoch, "rebuild": spec["rebuild"],
+            "state": (list(spec["Ws"]), list(spec["bs"]),
+                      (zW, zb), ([jnp.zeros_like(w) for w in zW],
+                                 [jnp.zeros_like(b) for b in zb])),
+            "t": 0,
+        }
+
     @jax.jit
     def train_step(p, opt_state, y0, tgt):
         def loss_fn(pp):
@@ -235,12 +293,30 @@ def main():
         # costs one host round-trip each (on the tunneled chip that
         # dominated the epoch) — sync once at epoch end
         epoch_losses = []
-        for y0_np, tgt_np in train_loader:
-            y0 = jnp.asarray(y0_np, dtype)
-            tgt = jnp.asarray(tgt_np, dtype)
-            params, opt_state, loss = train_step(params, opt_state, y0, tgt)
-            epoch_losses.append(loss)
-            step += 1
+        if fused_ctx is not None:
+            ys, tgts = [], []
+            for y0_np, tgt_np in train_loader:
+                ys.append(np.asarray(y0_np))
+                tgts.append(np.asarray(tgt_np)[:, 0])
+            y_stack = jnp.asarray(np.stack(ys), dtype)
+            tgt_stack = jnp.asarray(np.stack(tgts), dtype)
+            Ws, bs, m, v = fused_ctx["state"]
+            Ws, bs, m, v, losses = fused_ctx["run"](
+                y_stack, tgt_stack, Ws, bs, m, v, fused_ctx["t"],
+                jnp.asarray(lr_now, jnp.float32))
+            fused_ctx["state"] = (Ws, bs, m, v)
+            fused_ctx["t"] += int(y_stack.shape[0])
+            params = (vim, fused_ctx["rebuild"](Ws, bs))
+            epoch_losses = list(losses)
+            step += int(y_stack.shape[0])
+        else:
+            for y0_np, tgt_np in train_loader:
+                y0 = jnp.asarray(y0_np, dtype)
+                tgt = jnp.asarray(tgt_np, dtype)
+                params, opt_state, loss = train_step(
+                    params, opt_state, y0, tgt)
+                epoch_losses.append(loss)
+                step += 1
         for i, lv in enumerate(np.asarray(
                 jax.device_get(jnp.stack(epoch_losses)))):
             loss_meter.update(float(lv))

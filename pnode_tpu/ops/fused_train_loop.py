@@ -1,0 +1,445 @@
+"""Fused ARK-IMEX training-LOOP Pallas kernel: many complete training
+iterations per kernel launch, C of them per grid step.
+
+Round-3 profiling on the tunneled v5e found a ~8 us FIXED cost per
+sequenced step — the same whether it is a `lax.scan` iteration, a
+pallas_call launch, or a Pallas GRID STEP with an empty body (measured:
+trivial 256x128 AXPY scan 7.9 us/iter; empty-body grid step 8.3 us;
++48 serialized 256x128 matmuls only +4.3 us). The headline KS training
+step (~16 us) is therefore sequencer-bound: no per-step kernel split can
+beat ~2 sequenced regions per step.
+
+This kernel moves the LOOP inside Pallas AND amortizes the per-grid-step
+cost over a CHUNK of C complete training iterations per grid step:
+
+    grid = (K / C,); each grid step runs C x [
+      forward ARK-IMEX step (ksponly + frozen linear f_im, MLP f_ex)
+      -> one-step-prediction MSE loss + gradient seed
+      -> stage-exact reverse sweep (same math as ops/fused_ark_adjoint)
+      -> Adam update (optax.adam formula, bias-corrected)
+    ]
+
+with the weight stack and Adam moments RESIDENT in VMEM across all K
+iterations (constant-index output blocks, initialized from the inputs at
+grid step 0) and the per-chunk minibatch blocks (C, B, P) STREAMED from
+HBM by Pallas's grid pipeline. Stage values never round-trip to HBM
+(forward and reverse share registers). Per-iteration cost approaches the
+~0.1 us/matmul compute floor; the ~8 us sequencer cost is paid once
+per C iterations.
+
+Scope: the reference's production stiff-PDE training configuration
+(/root/reference/examples-sinode/KS/KS.py: ksponly + fixed_jacobian +
+linear f_IM + MLP f_EX, one-step MSE target, Adam) — the same gate as the
+per-step fused kernels, plus MSE+Adam. The generic ODESolver + optax path
+remains the correctness reference (asserted equal in
+tests/test_fused_train_loop.py).
+
+Math per iteration (identical to fused_ark_forward + fused_ark_adjoint +
+optax.adam):
+
+    forward:  Yi = G_i @ inv           (implicit stages; kI = (Yi-G)/(dt a_ii))
+              kI = Yi @ J              (explicit stages)
+              kE = sign * MLP(Yi)
+    loss:     L = mean((y1 - target)^2);  lam = 2 (y1 - target) / (B d)
+    reverse:  xi_i = (u/(dt a_ii) + v) @ inv^T - u/(dt a_ii)   (implicit)
+              dW_l += h_l^T g_l,  db_l += sum g_l
+    adam:     m <- b1 m + (1-b1) g;  v <- b2 v + (1-b2) g^2
+              p <- p - lr * (m / (1-b1^t)) / (sqrt(v / (1-b2^t)) + eps)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+from .fused_mlp import _ACTS, _pad2, _round_up
+from .fused_ark_adjoint import _stiff_dot
+
+
+def fused_train_loop_fits(B, d, layer_dims, chunk=8) -> bool:
+    """VMEM feasibility: resident = weights + moments (x3 the weight
+    stack) + operators + the streamed (chunk, B, P) minibatch blocks
+    (x2 for double buffering, x2 for y+target) + ~10 (B, P)-sized live
+    temporaries (stages, MLP intermediates, covectors)."""
+    pdims = [_round_up(x, 128) for x in [d] + list(layer_dims)]
+    P = pdims[0]
+    w_elems = sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
+    Bp = _round_up(B, 8)
+    resident = 4 * (3 * w_elems + 4 * P * P)
+    stream = 4 * 4 * chunk * Bp * P
+    live = 4 * 10 * Bp * max(pdims)
+    return resident + stream + live < 12 * 2**20
+
+
+def pick_chunk(K, B, d, layer_dims) -> int:
+    """Largest chunk in (32, 16, 8) that divides K and fits VMEM; 1
+    otherwise (loss-block legality requires chunk % 8 == 0 or chunk == 1)."""
+    for c in (32, 16, 8):
+        if K % c == 0 and fused_train_loop_fits(B, d, layer_dims, chunk=c):
+            return c
+    return 1
+
+
+def fused_train_loop_cost(tableau_static, B, d, layer_dims, K):
+    """Analytic (flops, hbm_bytes) PER TRAINING ITERATION at LOGICAL
+    (unpadded) sizes — Pallas custom calls report zero cost to XLA's
+    analysis, so benchmarks add this (convention of fused_ark_fwd_cost).
+
+    Per iteration: forward = s stiff dots + s MLPs; reverse = one stiff
+    dot per stage + MLP backprop at ~2x the forward MLP dots (activations
+    are cached in-kernel, no recompute); Adam = ~10 elementwise ops per
+    parameter. HBM: (y, target) streamed in per iteration, the loss row
+    out; weights/moments/operators are VMEM-resident across all K
+    iterations so their one-time traffic is amortized by 1/K.
+    """
+    aI, _, bI, _ = tableau_static
+    s = len(bI)
+    dims = [d] + list(layer_dims)
+    mlp = sum(2 * B * a * b for a, b in zip(dims, dims[1:]))
+    w_elems = sum(a * b + b for a, b in zip(dims, dims[1:]))
+    flops = s * (2 * B * d * d + mlp)        # forward
+    flops += s * (2 * B * d * d + 2 * mlp)   # reverse
+    flops += 10 * w_elems + 3 * B * d        # adam + loss
+    byts = 4 * (2 * B * d + 128)
+    byts += 4 * (2 * 6 * w_elems + 4 * d * d) / max(1, K)
+    return flops, byts
+
+
+def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
+            b1, b2, eps, inv_count, C,
+            dt_ref, t0_ref, lr_ref, y_ref, tgt_ref,
+            jf_ref, invf_ref, jt_ref, invt_ref,
+            *refs):
+    """refs = [W1, b1, mW1, mb1, vW1, vb1, ...] inputs, then the same
+    6*n_layers layout as outputs, then loss_ref."""
+    act = _ACTS[act_name]
+    n_in = 6 * n_layers
+    ins = refs[:n_in]
+    outs = refs[n_in:2 * n_in]
+    loss_ref = refs[2 * n_in]
+    g_id = pl.program_id(0)
+    dt = dt_ref[0, 0]
+    lr = lr_ref[0, 0]  # runtime scalar: LR schedules don't recompile
+
+    # grid step 0: seed the resident parameter/moment blocks
+    @pl.when(g_id == 0)
+    def _init():
+        for i in range(n_in):
+            outs[i][:] = ins[i][:].astype(outs[i].dtype)
+
+    jf = jf_ref[:]      # J^T (row-vector forward apply)
+    invf = invf_ref[:]  # inv^T
+    jt = jt_ref[:]      # J (reverse: u @ J == (J^T u)^T)
+    invt = invt_ref[:]  # inv
+
+    losses = []
+    for it in range(C):
+        # parameters re-read every iteration (Adam just updated them)
+        Ws = [outs[6 * l][:] for l in range(n_layers)]
+        bs = [outs[6 * l + 1][:] for l in range(n_layers)]
+
+        def mlp(x, Ws=Ws, bs=bs):
+            h = x
+            pre = []
+            hs = [h]
+            for l in range(n_layers):
+                z = jnp.dot(h, Ws[l],
+                            preferred_element_type=jnp.float32) + bs[l]
+                pre.append(z)
+                h = act(z) if l < n_layers - 1 else z
+                hs.append(h)
+            return h, pre, hs
+
+        # ---- forward ARK step (mirror of fused_ark_forward._kernel) ----
+        y = y_ref[it]
+        tgt = tgt_ref[it]
+        kI = [None] * s
+        kE = [None] * s
+        Ys = [None] * s
+        pres = [None] * s  # cached MLP internals: the reverse sweep
+        hss = [None] * s   # reuses them instead of recomputing (op count
+        y1 = y             # is the latency bottleneck in this kernel)
+        for i in range(s):
+            G = y
+            for j in range(i):
+                if aI[i][j] != 0.0:
+                    G = G + (dt * aI[i][j]) * kI[j]
+                if aE[i][j] != 0.0:
+                    G = G + (dt * aE[i][j]) * kE[j]
+            if aI[i][i] != 0.0:
+                Yi = _stiff_dot(G, invf, stiff_prec)
+                inv_dt = jnp.where(dt == 0.0, 0.0, 1.0 / (dt * aI[i][i]))
+                kI[i] = (Yi - G) * inv_dt
+            else:
+                Yi = G
+                kI[i] = _stiff_dot(Yi, jf, stiff_prec)
+            Ys[i] = Yi
+            out, pres[i], hss[i] = mlp(Yi)
+            kE[i] = sign * out
+            if bI[i] != 0.0:
+                y1 = y1 + (dt * bI[i]) * kI[i]
+            if bE[i] != 0.0:
+                y1 = y1 + (dt * bE[i]) * kE[i]
+
+        # ---- loss + adjoint seed ---------------------------------------
+        diff = y1 - tgt
+        losses.append(jnp.sum(diff * diff) * inv_count)
+        lam = (2.0 * inv_count) * diff
+
+        # ---- reverse sweep (mirror of fused_ark_adjoint._kernel) -------
+        # per-stage backprop deltas are collected and the dW/db outer
+        # products batched into ONE dot per layer over the concatenated
+        # stages (stacking is cheap VPU work; each saved dot is a full
+        # MXU issue)
+        g_stages = [[] for _ in range(n_layers)]
+        h_stages = [[] for _ in range(n_layers)]
+        xis = [None] * s
+        for i in range(s - 1, -1, -1):
+            u = None
+            uh = None
+            if bI[i] != 0.0:
+                u = (dt * bI[i]) * lam
+            if bE[i] != 0.0:
+                uh = (dt * bE[i]) * lam
+            for m in range(i + 1, s):
+                if xis[m] is None:
+                    continue
+                if aI[m][i] != 0.0:
+                    t_ = (dt * aI[m][i]) * xis[m]
+                    u = t_ if u is None else u + t_
+                if aE[m][i] != 0.0:
+                    t_ = (dt * aE[m][i]) * xis[m]
+                    uh = t_ if uh is None else uh + t_
+            if u is None and uh is None:
+                continue
+            implicit = aI[i][i] != 0.0
+            p = None
+            if u is not None and not implicit:
+                p = _stiff_dot(u, jt, stiff_prec)
+            if uh is not None:
+                pre, hs = pres[i], hss[i]
+                g = sign * uh
+                for l in range(n_layers - 1, -1, -1):
+                    if l < n_layers - 1:
+                        if act_name == "relu":
+                            g = g * (pre[l] > 0).astype(jnp.float32)
+                        else:  # tanh
+                            t_ = jnp.tanh(pre[l])
+                            g = g * (1.0 - t_ * t_)
+                    g_stages[l].append(g)
+                    h_stages[l].append(hs[l])
+                    g = jnp.dot(g, Ws[l].T,
+                                preferred_element_type=jnp.float32)
+                p = g if p is None else p + g
+            if implicit:
+                if u is not None:
+                    inv_dtg = jnp.where(dt == 0.0, 0.0,
+                                        1.0 / (dt * aI[i][i]))
+                    c = u * inv_dtg
+                    q = c if p is None else c + p
+                    xi = _stiff_dot(q, invt, stiff_prec) - c
+                else:
+                    xi = _stiff_dot(p, invt, stiff_prec)
+            else:
+                xi = p
+            xis[i] = xi
+
+        dWs = [None] * n_layers
+        dbs = [None] * n_layers
+        for l in range(n_layers):
+            if not g_stages[l]:
+                continue
+            G_all = (g_stages[l][0] if len(g_stages[l]) == 1
+                     else jnp.concatenate(g_stages[l], axis=0))
+            H_all = (h_stages[l][0] if len(h_stages[l]) == 1
+                     else jnp.concatenate(h_stages[l], axis=0))
+            dWs[l] = jnp.dot(H_all.T, G_all,
+                             preferred_element_type=jnp.float32)
+            dbs[l] = jnp.sum(G_all, axis=0, keepdims=True)
+
+        # ---- Adam (optax.adam formula; t counts updates, 1-based) ------
+        t = (t0_ref[0, 0] + g_id * C + it + 1).astype(jnp.float32)
+        # b^t as exp(t ln b): Mosaic has no powf, and b1/b2 are static
+        c1 = 1.0 - jnp.exp(t * float(np.log(b1)))
+        c2 = 1.0 - jnp.exp(t * float(np.log(b2)))
+        for l in range(n_layers):
+            for slot, grad in ((0, dWs[l]), (1, dbs[l])):
+                if grad is None:
+                    continue
+                p_ref = outs[6 * l + slot]
+                m_ref = outs[6 * l + 2 + slot]
+                v_ref = outs[6 * l + 4 + slot]
+                m_new = b1 * m_ref[:] + (1.0 - b1) * grad
+                v_new = b2 * v_ref[:] + (1.0 - b2) * (grad * grad)
+                m_ref[:] = m_new
+                v_ref[:] = v_new
+                p_ref[:] = p_ref[:] - lr * (m_new / c1) / (
+                    jnp.sqrt(v_new / c2) + eps
+                )
+
+    # ---- per-iteration loss trace --------------------------------------
+    if C % 8 == 0:
+        # (C, 128) block per grid step: write all C rows at once
+        loss_ref[:] = jnp.broadcast_to(
+            jnp.stack(losses).reshape(C, 1), loss_ref.shape
+        )
+    else:
+        # C == 1: the (8, 128) block covers 8 consecutive grid steps
+        # (index_map g -> g//8); write row g%8 via an iota select (Mosaic
+        # forbids (1,1) blocks and dynamic sublane stores). Rows not yet
+        # visited hold garbage until their step — the host wrapper slices
+        # [:K] and reads column 0 only.
+        rows = jax.lax.broadcasted_iota(jnp.int32, loss_ref.shape, 0)
+        loss_ref[:] = jnp.where(rows == (g_id % 8), losses[0], loss_ref[:])
+
+
+def fused_train_loop(
+    tableau_static,
+    dt,
+    y_stack: jnp.ndarray,    # (K, B, d) per-iteration inputs
+    tgt_stack: jnp.ndarray,  # (K, B, d) per-iteration targets
+    J_dense: jnp.ndarray,    # (d, d)
+    inv_op: jnp.ndarray,     # (d, d) (I - dt*gamma*J)^{-1}
+    weights: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    m_state,                 # (mWs, mbs) tuples matching weights/biases
+    v_state,
+    t0,                      # int: Adam updates already applied
+    activation: str = "relu",
+    sign: float = -1.0,
+    lr: float = 1e-3,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    interpret: bool = False,
+    stiff_prec: str = None,
+    chunk: int = None,
+) -> Tuple[list, list, tuple, tuple, jnp.ndarray]:
+    """Run K complete training iterations in ONE kernel launch, ``chunk``
+    of them per grid step (auto-picked to divide K and fit VMEM).
+
+    Returns (weights', biases', (mWs', mbs'), (vWs', vbs'), losses (K,)).
+    Iteration k consumes (y_stack[k], tgt_stack[k]); passing the same
+    minibatch K times reproduces the repeated-batch benchmark loop, and a
+    real epoch passes its stacked minibatches.
+    """
+    from .fused_ark_adjoint import resolve_stiff_precision
+
+    aI, aE, bI, bE = tableau_static
+    s = len(bI)
+    K, B, d = y_stack.shape
+    n_layers = len(weights)
+    dims = [d] + [int(w.shape[1]) for w in weights]
+    pdims = [_round_up(x, 128) for x in dims]
+    P = pdims[0]
+    Bp = _round_up(B, 8)
+    C = chunk if chunk is not None else pick_chunk(K, B, d, dims[1:])
+    if K % C != 0:
+        raise ValueError(f"chunk {C} must divide K={K}")
+    if C != 1 and C % 8 != 0:
+        raise ValueError(f"chunk must be 1 or a multiple of 8, got {C}")
+    if not fused_train_loop_fits(B, d, dims[1:], chunk=C):
+        raise ValueError("fused train loop does not fit VMEM")
+    n_grid = K // C
+
+    prec = stiff_prec or resolve_stiff_precision(J_dense, inv_op,
+                                                 n_applies=s)
+
+    def pad3(a):
+        return jnp.pad(a, ((0, 0), (0, Bp - B), (0, P - d)))
+
+    y_p = pad3(y_stack.astype(jnp.float32))
+    tgt_p = pad3(tgt_stack.astype(jnp.float32))
+    jf_p = _pad2(J_dense.T, P, P)
+    invf_p = _pad2(inv_op.T, P, P)
+    jt_p = _pad2(J_dense, P, P)
+    invt_p = _pad2(inv_op, P, P)
+    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
+    t0_arr = jnp.asarray(t0, jnp.int32).reshape(1, 1)
+    lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
+
+    mWs, mbs = m_state
+    vWs, vbs = v_state
+    flat = []
+    shapes = []
+    for l in range(n_layers):
+        wp = (pdims[l], pdims[l + 1])
+        bp = (1, pdims[l + 1])
+        flat += [
+            _pad2(weights[l], *wp),
+            _pad2(biases[l].reshape(1, -1), *bp),
+            _pad2(mWs[l], *wp),
+            _pad2(mbs[l].reshape(1, -1), *bp),
+            _pad2(vWs[l], *wp),
+            _pad2(vbs[l].reshape(1, -1), *bp),
+        ]
+        shapes += [wp, bp, wp, bp, wp, bp]
+
+    const = lambda a: pl.BlockSpec(a.shape, lambda g: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    stream = pl.BlockSpec((C, Bp, P), lambda g: (g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM),
+        stream, stream,
+        const(jf_p), const(invf_p), const(jt_p), const(invt_p),
+    ] + [const(a) for a in flat]
+    out_shapes = [jax.ShapeDtypeStruct(sh, jnp.float32) for sh in shapes]
+    out_specs = [pl.BlockSpec(sh, lambda g: (0,) * len(sh),
+                              memory_space=pltpu.VMEM) for sh in shapes]
+    if C % 8 == 0:
+        out_shapes.append(jax.ShapeDtypeStruct((K, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((C, 128), lambda g: (g, 0),
+                                      memory_space=pltpu.VMEM))
+    else:
+        Kp = _round_up(K, 8)
+        out_shapes.append(jax.ShapeDtypeStruct((Kp, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((8, 128), lambda g: (g // 8, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kern = functools.partial(
+        _kernel, s, n_layers, activation,
+        tuple(tuple(float(x) for x in row) for row in aI),
+        tuple(tuple(float(x) for x in row) for row in aE),
+        tuple(float(x) for x in bI),
+        tuple(float(x) for x in bE),
+        float(sign), prec,
+        float(b1), float(b2), float(eps),
+        float(1.0 / (B * d)), C,
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_grid,),
+        out_shape=tuple(out_shapes),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(dt_arr, t0_arr, lr_arr, y_p, tgt_p, jf_p, invf_p, jt_p, invt_p,
+      *flat)
+
+    losses = outs[-1][:K, 0]
+    res = outs[:-1]
+    Ws_o, bs_o, mW_o, mb_o, vW_o, vb_o = [], [], [], [], [], []
+    for l in range(n_layers):
+        wi, wj = dims[l], dims[l + 1]
+        Ws_o.append(res[6 * l][:wi, :wj])
+        bs_o.append(res[6 * l + 1][0, :wj])
+        mW_o.append(res[6 * l + 2][:wi, :wj])
+        mb_o.append(res[6 * l + 3][0, :wj])
+        vW_o.append(res[6 * l + 4][:wi, :wj])
+        vb_o.append(res[6 * l + 5][0, :wj])
+    return Ws_o, bs_o, (mW_o, mb_o), (vW_o, vb_o), losses
