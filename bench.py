@@ -104,6 +104,13 @@ def bench_sinode(args, nx, batch, dt, metric):
     from pnode_tpu import FlaxFunc, ODESolver
     from pnode_tpu.models import BurgersFuncEX, BurgersFuncIM, KSFuncEX, KSFuncIM
 
+    # --dtype bf16: the ODE state/trajectory and the explicit-MLP weight
+    # stream ride bf16 (the bf16 time-integration path, RESULTS.md round 3);
+    # MASTER params and Adam moments stay f32 — the bf16 copy is cast
+    # inside the loss so the optimizer update is full-precision. On the
+    # weight-bandwidth-bound Burgers-512 config this halves the dominant
+    # HBM term (the ~7.5 MB MLP stack re-streamed per stage eval).
+    state_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     dtype = jnp.float32
     n_steps = 10 if args.quick else args.steps
 
@@ -114,9 +121,12 @@ def bench_sinode(args, nx, batch, dt, metric):
     use_pallas = (not args.no_pallas) and jax.default_backend() in (
         "tpu", "axon"
     )
+    # the fused-MLP/stencil kernels are f32-tiled; bf16 streams ride XLA's
+    # own bf16 dots (fp32 MXU accumulation) — that IS the measured path
+    use_pallas = use_pallas and state_dtype == jnp.float32
 
     key = jax.random.PRNGKey(0)
-    y_tmpl = jnp.zeros((batch, nx), dtype)
+    y_tmpl = jnp.zeros((batch, nx), state_dtype)
     if metric.startswith("ks"):
         im = KSFuncIM(nx=nx)
         ex = KSFuncEX(nx=nx, use_pallas=use_pallas)
@@ -158,7 +168,7 @@ def bench_sinode(args, nx, batch, dt, metric):
     # equal to the generic ODESolver + optax.adam loop per-step in
     # tests/test_fused_train_loop.py. Same static gate as the per-step
     # fused kernels + a VMEM-fit check; --no_fused_loop forces the scan.
-    if use_pallas and not args.no_fused_loop:
+    if use_pallas and not args.no_fused_loop and state_dtype == jnp.float32:
         from pnode_tpu.ops.fused_train_loop import (
             fused_train_loop,
             fused_train_loop_cost,
@@ -235,8 +245,20 @@ def bench_sinode(args, nx, batch, dt, metric):
     opt = optax.flatten(optax.adam(5e-3))
 
     def loss_fn(p, y0, target):
+        if state_dtype != jnp.float32:
+            # bf16 weight stream for the explicit MLP (the HBM-dominant
+            # term); the stiff implicit part keeps its f32 params — its
+            # frozen operators are precision-critical (RESULTS.md tiers)
+            p_im, p_ex = p
+            p_ex = jax.tree_util.tree_map(
+                lambda a: a.astype(state_dtype)
+                if a.dtype == jnp.float32 else a,
+                p_ex,
+            )
+            p = (p_im, p_ex)
         pred, _ = ode.solve(y0, t_out, params=p)
-        return jnp.mean((pred[-1] - target) ** 2)
+        d = (pred[-1] - target).astype(jnp.float32)
+        return jnp.mean(d * d)
 
     inner = max(1, int(args.inner_steps))
 
@@ -258,8 +280,9 @@ def bench_sinode(args, nx, batch, dt, metric):
         return p, opt_state, losses[-1]
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
-    y0 = jax.random.normal(k1, (batch, nx), dtype)
-    target = y0 + 0.05 * jax.random.normal(k2, (batch, nx), dtype)
+    y0 = jax.random.normal(k1, (batch, nx), state_dtype)
+    target = y0 + 0.05 * jax.random.normal(
+        k2, (batch, nx), state_dtype)
     opt_state = opt.init(params)
 
     # AOT compile: exact compile-time measurement (warm runs hit the
@@ -292,23 +315,33 @@ def bench_sinode(args, nx, batch, dt, metric):
     med, best = _windows(step, n_steps, args.windows)
     info = {"compile_s": round(trace_s + compile_s, 1), "compiled": compiled,
             "work_per_program": inner, "extra_flops": 0.0, "extra_bytes": 0.0}
-    # the fused Pallas step kernels are XLA custom calls invisible to
-    # cost_analysis(); add their analytic per-train-step cost (one fused
-    # forward + one fused reverse per step at this 1-solver-step config)
+    # Per-step roofline accounting. Two reasons the compiled program's own
+    # cost_analysis() cannot supply this: (a) the fused Pallas step kernels
+    # are custom calls reporting zero flops; (b) XLA counts a lax.scan BODY
+    # ONCE — the trip count is not folded in — so on the generic path the
+    # per-step numbers undercount by ~inner x (found via the bf16 Burgers
+    # run reporting 2e7 flops/step for an 11 GFLOP workload). The logical
+    # per-step math is identical whether Pallas kernels or XLA dots execute
+    # it, so the analytic fused-ARK cost model supplies flops/bytes per
+    # step in both cases (the "logical-work convention" of RESULTS.md).
     stepper = ode._stepper
-    spec_fn = getattr(stepper, "fused_ex_spec", None)
-    if use_pallas and spec_fn is not None:
-        spec = spec_fn(vex)
-        if spec is not None:
-            from pnode_tpu.ops.fused_ark_adjoint import fused_ark_adj_cost
-            from pnode_tpu.ops.fused_ark_forward import fused_ark_fwd_cost
+    from pnode_tpu.ops.fused_ark_adjoint import fused_ark_adj_cost
+    from pnode_tpu.ops.fused_ark_forward import fused_ark_fwd_cost
 
-            tab = (stepper._aI, stepper._aE, stepper._bI, stepper._bE)
-            dims = [int(w.shape[1]) for w in spec["Ws"]]
-            ffl, fby = fused_ark_fwd_cost(tab, batch, nx, dims)
-            afl, aby = fused_ark_adj_cost(tab, batch, nx, dims)
-            info["extra_flops"] = float(ffl + afl)
-            info["extra_bytes"] = float(fby + aby)
+    tab = (stepper._aI, stepper._aE, stepper._bI, stepper._bE)
+    if metric.startswith("ks"):
+        dims = [104] * 4 + [nx]        # KSFuncEX feats (models/sinode.py)
+    else:
+        dims = [nx * 9 // 8] * 4 + [nx]  # BurgersFuncEX feats
+    ffl, fby = fused_ark_fwd_cost(tab, batch, nx, dims)
+    afl, aby = fused_ark_adj_cost(tab, batch, nx, dims)
+    if state_dtype != jnp.float32:
+        # streamed weight/state tensors ride 2-byte bf16 (the cost model
+        # assumes 4-byte elements); stiff operators stay f32 — treat the
+        # halving as an upper-bound estimate of the saving
+        fby, aby = fby * 0.5, aby * 0.5
+    info["extra_flops"] = float(ffl + afl)
+    info["extra_bytes"] = float(fby + aby)
     return med * inner, best * inner, info
 
 
@@ -388,6 +421,10 @@ def main():
     ap.add_argument("--inner_steps", type=int, default=400,
                     help="training steps per dispatch (lax.scan); 1 = "
                          "per-step host dispatch mode")
+    ap.add_argument("--dtype", type=str, default="f32",
+                    choices=["f32", "bf16"],
+                    help="sinode workloads: ODE state + explicit-MLP "
+                         "stream dtype (master params/Adam stay f32)")
     ap.add_argument("--cifar_nt", type=int, default=2)
     ap.add_argument("--cifar_method", type=str, default="rk4")
     ap.add_argument("--cifar_dtype", type=str, default="f32",
@@ -409,6 +446,8 @@ def main():
             metric="ks_sinode_train_steps_per_sec_b256_nx64_imex",
         )
         metric = "ks_sinode_train_steps_per_sec_b256_nx64_imex"
+        if args.dtype != "f32":
+            metric += f"_{args.dtype}"
         value = best  # comparable with rounds 1+ (best-of-window convention)
         rate_for_roofline = best
         unit = "steps/s"
@@ -418,6 +457,8 @@ def main():
             metric="burgers_sinode_train_steps_per_sec_b200_nx512_imex",
         )
         metric = "burgers_sinode_train_steps_per_sec_b200_nx512_imex"
+        if args.dtype != "f32":
+            metric += f"_{args.dtype}"
         value = med
         rate_for_roofline = med
         unit = "steps/s"

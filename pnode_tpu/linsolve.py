@@ -189,6 +189,14 @@ def assemble_block_jacobian(f_flat, y_flat, cfg: "LinearSolveConfig", shared: bo
     /root/reference/pnode/petsc_adjoint.py:479 which calls
     ``jacrev(funcIM)(t, u[0:1])``).
     """
+    # linearize at a promoted (>= f32) state: the models are
+    # dtype-polymorphic (kernels cast to y.dtype), so a bf16 time-
+    # integration state would otherwise round every Jacobian entry to
+    # 8 mantissa bits AND hand lapack an unsupported bf16 operator.
+    # Stage operators are precision-critical (see DenseStageSolver);
+    # the solve results re-enter the state stream downcast by the
+    # steppers, so assembling at f32 costs nothing per step.
+    y_flat = y_flat.astype(jnp.promote_types(y_flat.dtype, jnp.float32))
     n = y_flat.shape[0]
     batch_size, d = cfg.blocks_of(n)
     if batch_size <= 1:
@@ -228,6 +236,13 @@ class DenseStageSolver:
 
     def __init__(self, J_blocks, mass_blocks, sigma, gamma, n,
                  use_inverse: bool = False):
+        # factor/invert at >= f32 always: lapack has no bf16 kernels and
+        # a low-precision stiff operator corrupts every stage solve (the
+        # solve output is downcast to the state dtype by the steppers)
+        J_blocks = J_blocks.astype(
+            jnp.promote_types(J_blocks.dtype, jnp.float32))
+        if mass_blocks is not None:
+            mass_blocks = mass_blocks.astype(J_blocks.dtype)
         # op = sigma*M - gamma*J per block
         d = J_blocks.shape[-1]
         eye = jnp.eye(d, dtype=J_blocks.dtype)

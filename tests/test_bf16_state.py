@@ -88,6 +88,66 @@ def test_bf16_state_imex():
     )
 
 
+def test_bf16_state_frozen_jacobian_block_solver():
+    """The Burgers/KS production stiff config at bf16: hpddm shared-block
+    solver + fixed_jacobian + ksponly. The frozen Jacobian must be
+    assembled at >= f32 from a promoted linearization state (the models
+    are dtype-polymorphic, so a bf16 state would both round the stiff
+    operator to 8 mantissa bits and hand lapack an unsupported bf16
+    matrix — linsolve.assemble_block_jacobian). Also exercises the bf16
+    WEIGHT stream: master f32 params cast to bf16 inside the loss, grads
+    flowing back to the f32 masters (bench.py --dtype bf16)."""
+    import pnode_tpu
+
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["p", "-snes_type", "ksponly"])
+
+    def f_im(t, y, p):
+        # stiff linear stencil (circular second difference)
+        return 40.0 * (jnp.roll(y, 1, -1) - 2 * y + jnp.roll(y, -1, -1))
+
+    def f_ex(t, y, p):
+        return jnp.tanh(y @ p["w"].astype(y.dtype))
+
+    batch, d = 4, 8
+    y0 = jnp.linspace(0.1, 1.0, batch * d, jnp.float32).reshape(batch, d)
+    w0 = 0.3 * jnp.eye(d, dtype=jnp.float32)
+    t_out = np.array([0.5])
+
+    def run(dtype):
+        o = ODESolver()
+        yy = y0.astype(dtype)
+        o.setupTS(yy, (f_im, {}), func2=(f_ex, {"w": w0}),
+                  step_size=0.25, method="imex", imex_form=True,
+                  implicit_form=True, enable_adjoint=True,
+                  linear_solver="hpddm", fixed_jacobian=True,
+                  batch_size=batch)
+
+        def loss(p, y):
+            pp = ({}, jax.tree_util.tree_map(
+                lambda a: a.astype(dtype), p[1]))
+            s, _ = o.solve(y, t_out, params=pp, with_adjoint=True)
+            return jnp.sum(s[-1].astype(jnp.float32))
+
+        params = ({}, {"w": w0})
+        s, _ = o.solve(yy, t_out, params=(
+            {}, {"w": w0.astype(dtype)}))
+        g = jax.grad(loss)(params, yy)
+        return s, g
+
+    sol_b, g_b = run(jnp.bfloat16)
+    sol_f, g_f = run(jnp.float32)
+    assert sol_b.dtype == jnp.bfloat16
+    assert g_b[1]["w"].dtype == jnp.float32  # grads land on f32 masters
+    assert np.all(np.isfinite(np.asarray(sol_b, np.float32)))
+    np.testing.assert_allclose(
+        np.asarray(g_b[1]["w"], np.float64),
+        np.asarray(g_f[1]["w"], np.float64),
+        rtol=5e-2, atol=5e-3,
+    )
+    pnode_tpu.clear_options()
+
+
 def test_bf16_state_adaptive():
     """Adaptive controller over a bf16 state: time/dt/error-norm arithmetic
     must ride at f32 (bf16 eps ~8e-3 cannot accumulate t+dt or land on
