@@ -69,13 +69,17 @@ from .fused_ark_adjoint import _stiff_dot
 
 
 def fused_train_loop_fits(B, d, layer_dims, chunk=8) -> bool:
-    """VMEM feasibility: resident = weights + moments (x3 the weight
-    stack) + operators + the streamed (chunk, B, P) minibatch blocks
-    (x2 for double buffering, x2 for y+target) + ~10 (B, P)-sized live
-    temporaries (stages, MLP intermediates, covectors)."""
+    """VMEM feasibility: resident = the stacked weight/bias blocks +
+    moments (x3 the stacks) + operators + the streamed (chunk, B, P)
+    minibatch blocks (x2 for double buffering, x2 for y+target) + ~10
+    (B, P)-sized live temporaries (stages, MLP intermediates,
+    covectors). The stacked layout pads every layer to the max padded
+    width (all 128 for the SINODE nets, so no overhead there)."""
     pdims = [_round_up(x, 128) for x in [d] + list(layer_dims)]
     P = pdims[0]
-    w_elems = sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
+    n_layers = len(layer_dims)
+    maxP = max(pdims)
+    w_elems = sum(pdims[:n_layers]) * maxP + _round_up(n_layers, 8) * maxP
     Bp = _round_up(B, 8)
     resident = 4 * (3 * w_elems + 4 * P * P)
     stream = 4 * 4 * chunk * Bp * P
@@ -118,25 +122,37 @@ def fused_train_loop_cost(tableau_static, B, d, layer_dims, K):
 
 
 def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
-            b1, b2, eps, inv_count, C,
+            b1, b2, eps, inv_count, C, pdims, offs,
             dt_ref, t0_ref, lr_ref, y_ref, tgt_ref,
             jf_ref, invf_ref, jt_ref, invt_ref,
             *refs):
-    """refs = [W1, b1, mW1, mb1, vW1, vb1, ...] inputs, then the same
-    6*n_layers layout as outputs, then loss_ref."""
+    """refs = [Wstack, bstack, mWstack, mbstack, vWstack, vbstack]
+    inputs, then the same 6 stacked blocks as outputs, then loss_ref.
+
+    Stacked layout (the round-3 latency fix): the per-layer padded
+    weights live concatenated along axis 0 in ONE (R, maxP) block
+    (layer l at rows offs[l]:offs[l]+pdims[l], cols :pdims[l+1]), the
+    biases as rows of ONE (ceil8(n_layers), maxP) block, and likewise
+    the Adam m/v moments. The kernel is latency-bound on its serialized
+    op chain (~0.1 us/op issue cost), and per-layer Adam on 6*n_layers
+    refs was the single largest op block (~6 ops x 2 x n_layers x 5
+    tensors); stacking runs Adam as ~12 large VPU ops total, and the
+    parameter/moment state is carried in registers across the C
+    iterations of a grid step (one ref read + one write per block per
+    grid step instead of per iteration)."""
     act = _ACTS[act_name]
-    n_in = 6 * n_layers
-    ins = refs[:n_in]
-    outs = refs[n_in:2 * n_in]
-    loss_ref = refs[2 * n_in]
+    ins = refs[:6]
+    outs = refs[6:12]
+    loss_ref = refs[12]
     g_id = pl.program_id(0)
     dt = dt_ref[0, 0]
     lr = lr_ref[0, 0]  # runtime scalar: LR schedules don't recompile
+    maxP = ins[0].shape[1]
 
     # grid step 0: seed the resident parameter/moment blocks
     @pl.when(g_id == 0)
     def _init():
-        for i in range(n_in):
+        for i in range(6):
             outs[i][:] = ins[i][:].astype(outs[i].dtype)
 
     jf = jf_ref[:]      # J^T (row-vector forward apply)
@@ -144,11 +160,17 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
     jt = jt_ref[:]      # J (reverse: u @ J == (J^T u)^T)
     invt = invt_ref[:]  # inv
 
+    # carried state for this grid step (written back once at the end)
+    Wv, bv, mWv, mbv, vWv, vbv = [outs[i][:] for i in range(6)]
+
     losses = []
     for it in range(C):
-        # parameters re-read every iteration (Adam just updated them)
-        Ws = [outs[6 * l][:] for l in range(n_layers)]
-        bs = [outs[6 * l + 1][:] for l in range(n_layers)]
+        # per-layer views of the carried stacks (static slices)
+        Ws = [jax.lax.slice(Wv, (offs[l], 0),
+                            (offs[l] + pdims[l], pdims[l + 1]))
+              for l in range(n_layers)]
+        bs = [jax.lax.slice(bv, (l, 0), (l + 1, pdims[l + 1]))
+              for l in range(n_layers)]
 
         def mlp(x, Ws=Ws, bs=bs):
             h = x
@@ -256,38 +278,50 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
                 xi = p
             xis[i] = xi
 
-        dWs = [None] * n_layers
-        dbs = [None] * n_layers
+        dW_blocks = []
+        db_rows = []
         for l in range(n_layers):
             if not g_stages[l]:
+                dW_blocks.append(jnp.zeros((pdims[l], maxP), jnp.float32))
+                db_rows.append(jnp.zeros((1, maxP), jnp.float32))
                 continue
             G_all = (g_stages[l][0] if len(g_stages[l]) == 1
                      else jnp.concatenate(g_stages[l], axis=0))
             H_all = (h_stages[l][0] if len(h_stages[l]) == 1
                      else jnp.concatenate(h_stages[l], axis=0))
-            dWs[l] = jnp.dot(H_all.T, G_all,
-                             preferred_element_type=jnp.float32)
-            dbs[l] = jnp.sum(G_all, axis=0, keepdims=True)
+            dW = jnp.dot(H_all.T, G_all,
+                         preferred_element_type=jnp.float32)
+            db = jnp.sum(G_all, axis=0, keepdims=True)
+            if pdims[l + 1] < maxP:
+                dW = jnp.pad(dW, ((0, 0), (0, maxP - pdims[l + 1])))
+                db = jnp.pad(db, ((0, 0), (0, maxP - pdims[l + 1])))
+            dW_blocks.append(dW)
+            db_rows.append(db)
+        dWstack = (dW_blocks[0] if n_layers == 1
+                   else jnp.concatenate(dW_blocks, axis=0))
+        if bv.shape[0] > n_layers:  # bias block rows padded to 8
+            db_rows.append(jnp.zeros((bv.shape[0] - n_layers, maxP),
+                                     jnp.float32))
+        dbstack = (db_rows[0] if len(db_rows) == 1
+                   else jnp.concatenate(db_rows, axis=0))
 
         # ---- Adam (optax.adam formula; t counts updates, 1-based) ------
+        # one stacked update for all weights and one for all biases;
+        # zero-gradient padding regions stay exactly zero (m=v=0 there)
         t = (t0_ref[0, 0] + g_id * C + it + 1).astype(jnp.float32)
         # b^t as exp(t ln b): Mosaic has no powf, and b1/b2 are static
         c1 = 1.0 - jnp.exp(t * float(np.log(b1)))
         c2 = 1.0 - jnp.exp(t * float(np.log(b2)))
-        for l in range(n_layers):
-            for slot, grad in ((0, dWs[l]), (1, dbs[l])):
-                if grad is None:
-                    continue
-                p_ref = outs[6 * l + slot]
-                m_ref = outs[6 * l + 2 + slot]
-                v_ref = outs[6 * l + 4 + slot]
-                m_new = b1 * m_ref[:] + (1.0 - b1) * grad
-                v_new = b2 * v_ref[:] + (1.0 - b2) * (grad * grad)
-                m_ref[:] = m_new
-                v_ref[:] = v_new
-                p_ref[:] = p_ref[:] - lr * (m_new / c1) / (
-                    jnp.sqrt(v_new / c2) + eps
-                )
+        mWv = b1 * mWv + (1.0 - b1) * dWstack
+        vWv = b2 * vWv + (1.0 - b2) * (dWstack * dWstack)
+        Wv = Wv - lr * (mWv / c1) / (jnp.sqrt(vWv / c2) + eps)
+        mbv = b1 * mbv + (1.0 - b1) * dbstack
+        vbv = b2 * vbv + (1.0 - b2) * (dbstack * dbstack)
+        bv = bv - lr * (mbv / c1) / (jnp.sqrt(vbv / c2) + eps)
+
+    # write the carried state back once per grid step
+    for ref, val in zip(outs, (Wv, bv, mWv, mbv, vWv, vbv)):
+        ref[:] = val
 
     # ---- per-iteration loss trace --------------------------------------
     if C % 8 == 0:
@@ -372,20 +406,31 @@ def fused_train_loop(
 
     mWs, mbs = m_state
     vWs, vbs = v_state
-    flat = []
-    shapes = []
+    # stacked resident layout: layer l's weights at rows
+    # offs[l]:offs[l]+pdims[l] (cols :pdims[l+1]) of one (R, maxP)
+    # block; biases as row l of one (ceil8(n_layers), maxP) block
+    maxP = max(pdims)
+    offs = [0]
     for l in range(n_layers):
-        wp = (pdims[l], pdims[l + 1])
-        bp = (1, pdims[l + 1])
-        flat += [
-            _pad2(weights[l], *wp),
-            _pad2(biases[l].reshape(1, -1), *bp),
-            _pad2(mWs[l], *wp),
-            _pad2(mbs[l].reshape(1, -1), *bp),
-            _pad2(vWs[l], *wp),
-            _pad2(vbs[l].reshape(1, -1), *bp),
-        ]
-        shapes += [wp, bp, wp, bp, wp, bp]
+        offs.append(offs[-1] + pdims[l])
+    R = offs[-1]
+    Rb = _round_up(n_layers, 8)
+
+    def wstack(ws):
+        return jnp.concatenate(
+            [_pad2(w.astype(jnp.float32), pdims[l], maxP)
+             for l, w in enumerate(ws)], axis=0)
+
+    def bstack(bs_):
+        rows = [_pad2(b.reshape(1, -1).astype(jnp.float32), 1, maxP)
+                for b in bs_]
+        if Rb > n_layers:
+            rows.append(jnp.zeros((Rb - n_layers, maxP), jnp.float32))
+        return jnp.concatenate(rows, axis=0)
+
+    flat = [wstack(weights), bstack(biases), wstack(mWs), bstack(mbs),
+            wstack(vWs), bstack(vbs)]
+    shapes = [(R, maxP), (Rb, maxP)] * 3
 
     const = lambda a: pl.BlockSpec(a.shape, lambda g: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
@@ -420,6 +465,7 @@ def fused_train_loop(
         float(sign), prec,
         float(b1), float(b2), float(eps),
         float(1.0 / (B * d)), C,
+        tuple(pdims), tuple(offs),
     )
     outs = pl.pallas_call(
         kern,
@@ -432,14 +478,15 @@ def fused_train_loop(
       *flat)
 
     losses = outs[-1][:K, 0]
-    res = outs[:-1]
+    Wres, bres, mWres, mbres, vWres, vbres = outs[:-1]
     Ws_o, bs_o, mW_o, mb_o, vW_o, vb_o = [], [], [], [], [], []
     for l in range(n_layers):
         wi, wj = dims[l], dims[l + 1]
-        Ws_o.append(res[6 * l][:wi, :wj])
-        bs_o.append(res[6 * l + 1][0, :wj])
-        mW_o.append(res[6 * l + 2][:wi, :wj])
-        mb_o.append(res[6 * l + 3][0, :wj])
-        vW_o.append(res[6 * l + 4][:wi, :wj])
-        vb_o.append(res[6 * l + 5][0, :wj])
+        o = offs[l]
+        Ws_o.append(Wres[o:o + wi, :wj])
+        bs_o.append(bres[l, :wj])
+        mW_o.append(mWres[o:o + wi, :wj])
+        mb_o.append(mbres[l, :wj])
+        vW_o.append(vWres[o:o + wi, :wj])
+        vb_o.append(vbres[l, :wj])
     return Ws_o, bs_o, (mW_o, mb_o), (vW_o, vb_o), losses
