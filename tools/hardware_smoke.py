@@ -22,9 +22,15 @@ repeatable gate:
    evidence before round 3).
 6. GRAND (segment-op attention diffusion on a synthetic SBM graph): a few
    cross-entropy steps must reduce the loss with finite gradients.
+7. fused training-LOOP kernel (the headline path, ops/fused_train_loop):
+   4 complete Adam iterations inside one compiled kernel launch vs the
+   jitted generic ODESolver + optax loop — losses and final params must
+   agree to hardware tolerance (measured drift 1.8e-5; gate at 5e-4,
+   which an O(1) numerics bug fails by orders of magnitude).
 
-Kept to ~6 compiled programs so the whole run fits in <12 min on the
-tunneled chip. Gates 5/6 can be skipped with --core for the fast loop.
+Kept to ~7 compiled programs so the whole run fits in <12 min on the
+tunneled chip. Gates 5/6 can be skipped with --core for the fast loop
+(gate 7 stays: it is the production hot path).
 
 Exit code 0 = all gates pass. Usage: python tools/hardware_smoke.py
 (on the TPU) / python tools/hardware_smoke.py --cpu (to write the fp64
@@ -288,6 +294,76 @@ def main() -> int:
         gate("GRAND trains", gfinite and glosses[-1] < glosses[0],
              f"ce {glosses[0]:.3f} -> {glosses[-1]:.3f}, "
              f"grads finite={gfinite}")
+
+    # -- 7. fused training-LOOP kernel vs jitted generic loop ----------------
+    import optax as _optax
+    from pnode_tpu.ops.fused_train_loop import fused_train_loop
+
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["smoke", "-snes_type", "ksponly",
+                    "-ts_arkimex_type", "3",
+                    "-pnode_fused_ark_adjoint", "off",
+                    "-pnode_fused_ark_precision", "highest"])
+    Bs, ds, K = 8, 16, 4
+    im7 = KSFuncIM(nx=ds)
+    ex7 = KSFuncEX(nx=ds, hidden=24, use_pallas=True)
+    tmpl7 = jnp.zeros((Bs, ds), jnp.float32)
+    vim7 = im7.init(jax.random.PRNGKey(0), 0.0, tmpl7)
+    vex7 = ex7.init(jax.random.PRNGKey(0), 0.0, tmpl7)
+    ode7 = ODESolver()
+    ode7.setupTS(tmpl7, FlaxFunc(im7, vim7), step_size=dt, method="imex",
+                 imex_form=True, implicit_form=True,
+                 func2=FlaxFunc(ex7, vex7), linear_solver="hpddm",
+                 fixed_jacobian=True, batch_size=Bs)
+    p7 = (vim7, vex7)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    y7 = jax.random.normal(k1, (K, Bs, ds), jnp.float32)
+    t7 = y7 + 0.05 * jax.random.normal(k2, (K, Bs, ds), jnp.float32)
+
+    opt7 = _optax.adam(5e-3)
+    st7 = opt7.init(p7)
+    t_out7 = np.array([0.0, dt])
+
+    @jax.jit
+    def gen_iter(p, s, yb, tb):
+        def lf(pp):
+            pr, _ = ode7.solve(yb, t_out7, params=pp)
+            return jnp.mean((pr[-1] - tb) ** 2)
+
+        lv, gg = jax.value_and_grad(lf)(p)
+        up, s = opt7.update(gg, s)
+        return _optax.apply_updates(p, up), s, lv
+
+    ref_losses7 = []
+    for kk in range(K):
+        p7n, st7, lv = gen_iter(p7, st7, y7[kk], t7[kk])
+        p7 = p7n
+        ref_losses7.append(float(lv))
+
+    stp7 = ode7._stepper.prepare(0.0, tmpl7, (vim7, vex7),
+                                 dt0=jnp.float32(dt))
+    spec7 = stp7.fused_ex_spec(vex7)
+    J7 = stp7.setup.frozen_J_blocks[0]
+    gam7 = [stp7._aI[i][i] for i in range(len(stp7._bI))
+            if stp7._aI[i][i] != 0.0][0]
+    inv7 = stp7.setup.solver_cache[gam7]._inv[0]
+    Ws7, bs7 = list(spec7["Ws"]), list(spec7["bs"])
+    zW7 = [jnp.zeros_like(w) for w in Ws7]
+    zb7 = [jnp.zeros_like(b) for b in bs7]
+    Wo7, bo7, _, _, l7 = fused_train_loop(
+        (stp7._aI, stp7._aE, stp7._bI, stp7._bE), dt, y7, t7, J7, inv7,
+        Ws7, bs7, (zW7, zb7), (zW7, zb7), 0,
+        activation=spec7["activation"], sign=spec7["sign"], lr=5e-3,
+        interpret=backend == "cpu", stiff_prec="highest")
+    dl7 = float(np.abs(np.asarray(l7) - np.asarray(ref_losses7)).max())
+    got7 = spec7["rebuild"](Wo7, bo7)
+    dp7 = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(got7),
+                        jax.tree_util.tree_leaves(p7[1]))
+    )
+    gate("fused train loop vs generic", dl7 < 1e-4 and dp7 < 5e-4,
+         f"loss diff {dl7:.2e}, param diff {dp7:.2e} after {K} Adam steps")
 
     print("SMOKE", "FAILED: " + ", ".join(failures) if failures else "OK")
     return 1 if failures else 0
