@@ -215,6 +215,34 @@ def _stiff_dot(x, A, prec: str):
     return jnp.dot(x, A, preferred_element_type=jnp.float32)
 
 
+def _pack_high_operator(A):
+    """Pack an f32 operator for the single-issue "high" stiff dot.
+
+    The bf16x3 tier costs 3 MXU issues per apply as written in
+    ``_stiff_dot``; on the latency-bound fused kernels the per-issue
+    cost (~0.1 us) dominates the actual systolic work at these shapes.
+    Packing the operator rows as [Ah; Al; Ah] (bf16) lets
+    ``[xh | xh | xl] @ packed`` compute xh@Ah + xh@Al + xl@Ah in ONE
+    MXU issue with a single f32 accumulation chain (at least as
+    accurate as the 3-dot version, which rounds two partial sums).
+    The operators are compile-time constants, so kernels hoist this
+    packing out of their stage/iteration loops."""
+    Ah32 = A.astype(jnp.bfloat16).astype(jnp.float32)
+    Ah = Ah32.astype(jnp.bfloat16)
+    Al = (A - Ah32).astype(jnp.bfloat16)
+    return jnp.concatenate([Ah, Al, Ah], axis=0)
+
+
+def _stiff_dot_high_packed(x, A3):
+    """Single-issue bf16x3 stiff dot against a ``_pack_high_operator``
+    result: split x once, widen to [xh | xh | xl], one MXU dot."""
+    xh32 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    xh = xh32.astype(jnp.bfloat16)
+    xl = (x - xh32).astype(jnp.bfloat16)
+    X = jnp.concatenate([xh, xh, xl], axis=1)
+    return jnp.dot(X, A3, preferred_element_type=jnp.float32)
+
+
 def fused_ark_fits(d: int, layer_dims: Sequence[int],
                    with_grad_accumulators: bool = True,
                    weight_dtype: str = "f32") -> bool:

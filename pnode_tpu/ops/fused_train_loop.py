@@ -65,7 +65,11 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from .fused_mlp import _ACTS, _pad2, _round_up
-from .fused_ark_adjoint import _stiff_dot
+from .fused_ark_adjoint import (
+    _pack_high_operator,
+    _stiff_dot,
+    _stiff_dot_high_packed,
+)
 
 
 def fused_train_loop_fits(B, d, layer_dims, chunk=8) -> bool:
@@ -159,6 +163,17 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
     invf = invf_ref[:]  # inv^T
     jt = jt_ref[:]      # J (reverse: u @ J == (J^T u)^T)
     invt = invt_ref[:]  # inv
+    if stiff_prec == "high":
+        # single-issue bf16x3: pack each constant operator ONCE per grid
+        # step; every apply is then one MXU dot instead of three
+        jf, invf, jt, invt = (
+            _pack_high_operator(a) for a in (jf, invf, jt, invt))
+
+        def sdot(x, A):
+            return _stiff_dot_high_packed(x, A)
+    else:
+        def sdot(x, A):
+            return _stiff_dot(x, A, stiff_prec)
 
     # carried state for this grid step (written back once at the end)
     Wv, bv, mWv, mbv, vWv, vbv = [outs[i][:] for i in range(6)]
@@ -201,12 +216,12 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
                 if aE[i][j] != 0.0:
                     G = G + (dt * aE[i][j]) * kE[j]
             if aI[i][i] != 0.0:
-                Yi = _stiff_dot(G, invf, stiff_prec)
+                Yi = sdot(G, invf)
                 inv_dt = jnp.where(dt == 0.0, 0.0, 1.0 / (dt * aI[i][i]))
                 kI[i] = (Yi - G) * inv_dt
             else:
                 Yi = G
-                kI[i] = _stiff_dot(Yi, jf, stiff_prec)
+                kI[i] = sdot(Yi, jf)
             Ys[i] = Yi
             out, pres[i], hss[i] = mlp(Yi)
             kE[i] = sign * out
@@ -249,7 +264,7 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
             implicit = aI[i][i] != 0.0
             p = None
             if u is not None and not implicit:
-                p = _stiff_dot(u, jt, stiff_prec)
+                p = sdot(u, jt)
             if uh is not None:
                 pre, hs = pres[i], hss[i]
                 g = sign * uh
@@ -271,9 +286,9 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
                                         1.0 / (dt * aI[i][i]))
                     c = u * inv_dtg
                     q = c if p is None else c + p
-                    xi = _stiff_dot(q, invt, stiff_prec) - c
+                    xi = sdot(q, invt) - c
                 else:
-                    xi = _stiff_dot(p, invt, stiff_prec)
+                    xi = sdot(p, invt)
             else:
                 xi = p
             xis[i] = xi
