@@ -167,18 +167,10 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
         )
         if key not in _cams_memo:
             stp = _prepared(y0, params)
-            _, _, aux_shape, _ = jax.eval_shape(
-                lambda y: stp.step_embedded(
-                    jnp.asarray(t_out[0],
-                                jnp.promote_types(y0.dtype, jnp.float32)),
-                    jnp.asarray(dt0,
-                                jnp.promote_types(y0.dtype, jnp.float32)),
-                    y, params),
-                y0,
-            )
+            aux_shape = _aux_shape(stp, y0, params)
             aux_sz = sum(int(np.prod(a.shape))
                          for a in jax.tree_util.tree_leaves(aux_shape))
-            w = 1 + max(1, math.ceil(aux_sz / max(1, y0.size)))
+            w = cm.stage_weight(aux_sz, y0.size)
             m = max(1, int(traj.max_cps) or 16)
             plan_fwd, plan_rev = cm.cams_plan(max_steps, m, w)
             _cams_memo[key] = cm.compile_plan(plan_fwd, plan_rev, max_steps)
@@ -376,13 +368,23 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
 
     # -- reverse policy engines over the trial axis --------------------------
     #
-    # All engines consume the scalar record (t_r, dt_r, acc_r, force_r):
-    # force_r[k] is the output cotangent written at the END of trial step k,
-    # injected into lam BEFORE transposing step k; rejected (and
-    # never-reached) steps are gated to identity with lax.cond, so only
-    # accepted steps pay a stage transpose at runtime.
+    # All engines consume the scalar record (t_r, dt_r, acc_r, slot_r):
+    # slot_r[k] >= 0 marks an accepted landing step whose output cotangent
+    # g_out[slot_r[k]] is injected into lam BEFORE transposing step k. The
+    # per-step forcing is GATHERED inside each scan body from the
+    # O(n_out * state) cotangent array — materializing it up front would
+    # cost O(max_steps * state), defeating the low-memory policies (the
+    # whole point of revolve/CAMS here). Rejected (and never-reached)
+    # steps are gated to identity with lax.cond, so only accepted steps
+    # pay a stage transpose at runtime.
 
-    def _gated_adj(stp, params, t_k, dt_k, y_k, aux_k, acc_k, f_k, lam, gp):
+    def _gated_adj(stp, params, t_k, dt_k, y_k, aux_k, acc_k, slot_k, g_out,
+                   lam, gp):
+        f_k = jnp.where(
+            slot_k >= 0,
+            g_out[jnp.maximum(slot_k, 0)].astype(lam.dtype),
+            jnp.zeros_like(lam),
+        )
         lam = lam + f_k
 
         def do(args):
@@ -393,69 +395,73 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
         return lax.cond(acc_k, do, lambda a: a, (lam, gp))
 
     def _gated_step(stp, params, t_k, dt_k, acc_k, y):
+        # replay advance: step() is step_embedded() minus the error
+        # estimate (identical y1 from the same call chain; for Theta the
+        # estimate costs two extra dynamics evaluations per step)
         return lax.cond(
             acc_k,
-            lambda yy: stp.step_embedded(t_k, dt_k, yy, params)[0],
+            lambda yy: stp.step(t_k, dt_k, yy, params)[0],
             lambda yy: yy,
             y,
         )
 
-    def _bwd_direct(stp, params, recs, force, lam, gp):
+    def _bwd_direct(stp, params, recs, g_out, lam, gp):
         """store_all / solution_only: one reverse scan over the records."""
         if kind == "store_all":
-            t_r, dt_r, acc_r, _, y_r, aux_r = recs
+            t_r, dt_r, acc_r, slot_r, y_r, aux_r = recs
         else:
-            t_r, dt_r, acc_r, _, y_r = recs
+            t_r, dt_r, acc_r, slot_r, y_r = recs
             aux_r = None
 
         def body(carry, x):
             lam_c, gp_c = carry
             if aux_r is not None:
-                t_k, dt_k, acc_k, f_k, y_k, aux_k = x
+                t_k, dt_k, acc_k, s_k, y_k, aux_k = x
                 aux_k = jax.tree_util.tree_map(
                     lambda a: _expand(a, lam_c), aux_k
                 )
             else:
-                t_k, dt_k, acc_k, f_k, y_k = x
+                t_k, dt_k, acc_k, s_k, y_k = x
                 aux_k = None
             y_k = _expand(y_k, lam_c)
             lam_c, gp_c = _gated_adj(
-                stp, params, t_k, dt_k, y_k, aux_k, acc_k, f_k, lam_c, gp_c
+                stp, params, t_k, dt_k, y_k, aux_k, acc_k, s_k, g_out,
+                lam_c, gp_c
             )
             return (lam_c, gp_c), None
 
-        xs = (t_r, dt_r, acc_r, force, y_r)
+        xs = (t_r, dt_r, acc_r, slot_r, y_r)
         if aux_r is not None:
             xs = xs + (aux_r,)
         (lam, gp), _ = lax.scan(body, (lam, gp), xs, reverse=True)
         return lam, gp
 
-    def _bwd_checkpoint(stp, params, recs, force, lam, gp, cps):
+    def _bwd_checkpoint(stp, params, recs, g_out, lam, gp, cps):
         """Uniform trial-axis segments: recompute each segment forward from
         its stored checkpoint (capturing states + stage sets locally), then
         sweep it — peak memory O(c·state + seg_len·(state + aux))."""
-        t_r, dt_r, acc_r, _ = recs[:4]
+        t_r, dt_r, acc_r, slot_r = recs[:4]
         pad_f = jnp.asarray(False)
         t_p = jnp.concatenate([t_r, jnp.zeros((_pad,), t_r.dtype)])
         dt_p = jnp.concatenate([dt_r, jnp.zeros((_pad,), dt_r.dtype)])
         acc_p = jnp.concatenate(
             [acc_r, jnp.broadcast_to(pad_f, (_pad,))])
-        force_p = jnp.concatenate(
-            [force, jnp.zeros((_pad,) + force.shape[1:], force.dtype)]
+        slot_p = jnp.concatenate(
+            [slot_r, jnp.full((_pad,), -1, slot_r.dtype)]
         )
         seg_t = t_p.reshape(_n_seg, _seg_len)
         seg_dt = dt_p.reshape(_n_seg, _seg_len)
         seg_acc = acc_p.reshape(_n_seg, _seg_len)
-        seg_force = force_p.reshape((_n_seg, _seg_len) + force.shape[1:])
+        seg_slot = slot_p.reshape(_n_seg, _seg_len)
 
         def seg_bwd(carry, x):
             lam_c, gp_c = carry
-            y_cp, s_t, s_dt, s_acc, s_force = x
+            y_cp, s_t, s_dt, s_acc, s_slot = x
             y_cp = _expand(y_cp, lam_c)
 
             def fbody(y, xx):
                 t_k, dt_k, acc_k = xx
-                y1, _, aux, _ = stp.step_embedded(t_k, dt_k, y, params)
+                y1, aux, _ = stp.step(t_k, dt_k, y, params)
                 y_next = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(acc_k, b, a), y, y1
                 )
@@ -467,32 +473,32 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
 
             def rbody(carry2, xx):
                 lam_i, gp_i = carry2
-                t_k, dt_k, acc_k, f_k, y_k, aux_k = xx
+                t_k, dt_k, acc_k, s_k, y_k, aux_k = xx
                 lam_i, gp_i = _gated_adj(
-                    stp, params, t_k, dt_k, y_k, aux_k, acc_k, f_k,
+                    stp, params, t_k, dt_k, y_k, aux_k, acc_k, s_k, g_out,
                     lam_i, gp_i,
                 )
                 return (lam_i, gp_i), None
 
             (lam_c, gp_c), _ = lax.scan(
                 rbody, (lam_c, gp_c),
-                (s_t, s_dt, s_acc, s_force, y_hist, aux_hist), reverse=True,
+                (s_t, s_dt, s_acc, s_slot, y_hist, aux_hist), reverse=True,
             )
             return (lam_c, gp_c), None
 
         (lam, gp), _ = lax.scan(
-            seg_bwd, (lam, gp), (cps, seg_t, seg_dt, seg_acc, seg_force),
+            seg_bwd, (lam, gp), (cps, seg_t, seg_dt, seg_acc, seg_slot),
             reverse=True,
         )
         return lam, gp
 
-    def _bwd_revolve(stp, params, recs, force, lam, gp, y0):
+    def _bwd_revolve(stp, params, recs, g_out, lam, gp, y0):
         """Optimal binomial schedule over the trial axis: the shared
         unit-action table (revolve.compile_actions) executed by one scan
         with a (c+2)-slot buffer; advances and reverses are acc-gated."""
         from . import revolve as rv
 
-        t_r, dt_r, acc_r, _ = recs[:4]
+        t_r, dt_r, acc_r, slot_r = recs[:4]
         c = max(1, int(traj.max_cps))
         acts = jnp.asarray(rv.compile_actions(max_steps, c))
         buf0 = jnp.zeros((c + 2,) + y0.shape, y0.dtype).at[0].set(y0)
@@ -518,7 +524,7 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
                 buf, cursor, lam_c, gp_c = carry
                 lam_c, gp_c = _gated_adj(
                     stp, params, t_r[k], dt_r[k], cursor, None, acc_r[k],
-                    force[k], lam_c, gp_c,
+                    slot_r[k], g_out, lam_c, gp_c,
                 )
                 return buf, cursor, lam_c, gp_c
 
@@ -530,11 +536,11 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
         (_, _, lam, gp), _ = lax.scan(body, (buf0, y0, lam, gp), acts)
         return lam, gp
 
-    def _bwd_cams(stp, params, recs, force, lam, gp, y0, stored):
+    def _bwd_cams(stp, params, recs, g_out, lam, gp, y0, stored):
         """CAMS unit-action executor over the trial axis (the adjoint
         module's _cams_bwd_scan with acc-gated advances/reverses)."""
         comp = _cams_comp(y0, params)
-        t_r, dt_r, acc_r, _ = recs[:4]
+        t_r, dt_r, acc_r, slot_r = recs[:4]
         solbuf, sy, saux = stored
         solbuf = solbuf.at[0].set(_compress(y0))
         acts = jnp.asarray(comp["actions"])
@@ -569,13 +575,13 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
                 solbuf, sy, saux, cursor, lam_c, gp_c = c
                 lam_c, gp_c = _gated_adj(
                     stp, params, t_r[k], dt_r[k], cursor, None, acc_r[k],
-                    force[k], lam_c, gp_c,
+                    slot_r[k], g_out, lam_c, gp_c,
                 )
                 return solbuf, sy, saux, cursor, lam_c, gp_c
 
             def cap(c):
                 solbuf, sy, saux, cursor, lam_c, gp_c = c
-                y1, _, aux, _ = stp.step_embedded(
+                y1, aux, _ = stp.step(
                     t_r[k], dt_r[k], cursor, params
                 )
                 y1 = jax.tree_util.tree_map(
@@ -595,7 +601,7 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
                 )
                 lam_c, gp_c = _gated_adj(
                     stp, params, t_r[k], dt_r[k], y_k, aux_k, acc_r[k],
-                    force[k], lam_c, gp_c,
+                    slot_r[k], g_out, lam_c, gp_c,
                 )
                 return solbuf, sy, saux, cursor, lam_c, gp_c
 
@@ -608,28 +614,29 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
         (_, _, _, _, lam, gp), _ = lax.scan(body, init, acts)
         return lam, gp
 
-    def _bwd_disk(stp, params, recs, force, lam, gp, y0):
+    def _bwd_disk(stp, params, recs, g_out, lam, gp, y0):
         from jax.experimental import io_callback
 
-        t_r, dt_r, acc_r, _ = recs[:4]
+        t_r, dt_r, acc_r, slot_r = recs[:4]
         template = jax.ShapeDtypeStruct(y0.shape, y0.dtype)
 
         def body(carry, x):
             lam_c, gp_c = carry
-            k, t_k, dt_k, acc_k, f_k = x
+            k, t_k, dt_k, acc_k, s_k = x
             y_k = io_callback(
                 lambda kk: _dtraj.read_step(_disk_id, kk,
                                             np.zeros(y0.shape, y0.dtype)),
                 template, k, ordered=True,
             )
             lam_c, gp_c = _gated_adj(
-                stp, params, t_k, dt_k, y_k, None, acc_k, f_k, lam_c, gp_c
+                stp, params, t_k, dt_k, y_k, None, acc_k, s_k, g_out,
+                lam_c, gp_c
             )
             return (lam_c, gp_c), None
 
         ks = jnp.arange(max_steps)
         (lam, gp), _ = lax.scan(
-            body, (lam, gp), (ks, t_r, dt_r, acc_r, force), reverse=True
+            body, (lam, gp), (ks, t_r, dt_r, acc_r, slot_r), reverse=True
         )
         return lam, gp
 
@@ -650,30 +657,29 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
         stp = _prepared(y0, params)
         gp0 = tree_zeros_like(params)
         lam0 = jnp.zeros_like(y0)
-        out_slot = recs[3]
-        # forcing: cotangent of the output written at the END of trial step
-        # k (out_slot >= 0 only on accepted landing steps)
-        force = jnp.where(
-            (out_slot >= 0).reshape((-1,) + (1,) * y0.ndim),
-            g_outputs[jnp.maximum(out_slot, 0)],
-            jnp.zeros(((max_steps,) + y0.shape), y0.dtype),
-        )
+        # the per-step forcing (cotangent of the output written at the END
+        # of trial step k; slot >= 0 only on accepted landing steps) is
+        # gathered from g_outputs INSIDE each engine's scan body — never
+        # materialized as an O(max_steps * state) array, which would
+        # defeat the low-memory policies
 
         if kind in ("store_all", "solution_only"):
-            lam, gp = _bwd_direct(stp, params, recs, force, lam0, gp0)
+            lam, gp = _bwd_direct(stp, params, recs, g_outputs, lam0, gp0)
         elif kind == "checkpoint":
             (cps,) = bufs
             lam, gp = _bwd_checkpoint(
-                stp, params, recs, force, lam0, gp0, cps
+                stp, params, recs, g_outputs, lam0, gp0, cps
             )
         elif kind == "revolve":
-            lam, gp = _bwd_revolve(stp, params, recs, force, lam0, gp0, y0)
+            lam, gp = _bwd_revolve(
+                stp, params, recs, g_outputs, lam0, gp0, y0
+            )
         elif kind == "cams":
             lam, gp = _bwd_cams(
-                stp, params, recs, force, lam0, gp0, y0, bufs
+                stp, params, recs, g_outputs, lam0, gp0, y0, bufs
             )
         else:  # disk
-            lam, gp = _bwd_disk(stp, params, recs, force, lam0, gp0, y0)
+            lam, gp = _bwd_disk(stp, params, recs, g_outputs, lam0, gp0, y0)
 
         # t_out[0] output is y0 itself
         lam = lam + g_outputs[0]

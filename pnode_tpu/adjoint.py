@@ -367,15 +367,15 @@ def make_odeint(stepper, grid, traj: TrajectoryConfig, with_adjoint: bool = True
             ),
         )
         if key not in _cams_w_memo:
+            from . import cams as cm
+
             stp = _prepare(y0, params, ts, dts)
             aux_shape = _aux_struct(stp, y0, params, ts, dts)
             aux_sz = sum(
                 int(np.prod(a.shape))
                 for a in jax.tree_util.tree_leaves(aux_shape)
             )
-            _cams_w_memo[key] = 1 + max(
-                1, math.ceil(aux_sz / max(1, y0.size))
-            )
+            _cams_w_memo[key] = cm.stage_weight(aux_sz, y0.size)
         return _cams_w_memo[key]
 
     def _cams_plan(y0, params, ts, dts):

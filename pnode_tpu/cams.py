@@ -189,6 +189,17 @@ def _solve_tables_py(n: int, m: int, w: int) -> _Tables:
     return _Tables(n, m, w, pdec, fdec, F[idx(n, m, 0, 0)])
 
 
+def stage_weight(aux_sz: int, state_sz: int) -> int:
+    """Memory weight of a stage checkpoint in state units: 1 (the solution)
+    + ceil(aux units / state units), floored at 1 aux unit.
+
+    This is THE convention both executors budget -ts_trajectory_max_cps_ram
+    against (adjoint._cams_weight for the fixed grid, adaptive._cams_comp
+    for the trial axis) — keep it single-source so the two planners can
+    never drift apart on how much memory a stage set costs."""
+    return 1 + max(1, math.ceil(aux_sz / max(1, state_sz)))
+
+
 def optimal_cost(n: int, m: int, w: int) -> int:
     """Minimal recompute cost (forward-step evals after the original pass)."""
     if n <= 0:

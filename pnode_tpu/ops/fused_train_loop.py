@@ -126,7 +126,7 @@ def fused_train_loop_cost(tableau_static, B, d, layer_dims, K):
 
 
 def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
-            b1, b2, eps, inv_count, C, pdims, offs,
+            b1, b2, eps, inv_count, C, pdims, offs, logical_B,
             dt_ref, t0_ref, lr_ref, y_ref, tgt_ref,
             jf_ref, invf_ref, jt_ref, invt_ref,
             *refs):
@@ -177,6 +177,16 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
 
     # carried state for this grid step (written back once at the end)
     Wv, bv, mWv, mbv, vWv, vbv = [outs[i][:] for i in range(6)]
+
+    # phantom-row mask: the batch is padded to a sublane multiple, and
+    # padded rows enter the MLP as x=0 — with nonzero biases MLP(0) != 0,
+    # so an unmasked loss would inject phantom terms into lam/dW/db
+    # (wrong gradients whenever B % 8 != 0). Masking the loss seed zeroes
+    # every phantom contribution: g rows >= B are 0 through the whole
+    # reverse sweep.
+    n_rows = y_ref.shape[1]
+    row_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+                < logical_B).astype(jnp.float32)
 
     losses = []
     for it in range(C):
@@ -230,8 +240,8 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
             if bE[i] != 0.0:
                 y1 = y1 + (dt * bE[i]) * kE[i]
 
-        # ---- loss + adjoint seed ---------------------------------------
-        diff = y1 - tgt
+        # ---- loss + adjoint seed (phantom rows masked out) --------------
+        diff = (y1 - tgt) * row_mask
         losses.append(jnp.sum(diff * diff) * inv_count)
         lam = (2.0 * inv_count) * diff
 
@@ -480,7 +490,7 @@ def fused_train_loop(
         float(sign), prec,
         float(b1), float(b2), float(eps),
         float(1.0 / (B * d)), C,
-        tuple(pdims), tuple(offs),
+        tuple(pdims), tuple(offs), B,
     )
     outs = pl.pallas_call(
         kern,

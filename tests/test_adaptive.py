@@ -380,6 +380,62 @@ def test_adaptive_policy_trajectory_memory_shapes():
     assert buf_cm <= (4 + 2) * state_sz * (1 + stepper.tab.stages)
 
 
+def _jaxpr_has_shape(jaxpr, shape):
+    """True if any equation in the (nested) jaxpr touches an array of
+    exactly ``shape``."""
+    import jax.extend.core as jex_core
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            for v in list(eqn.invars) + list(eqn.outvars):
+                aval = getattr(v, "aval", None)
+                if aval is not None and tuple(
+                        getattr(aval, "shape", ())) == shape:
+                    return True
+            for p in eqn.params.values():
+                subs = p if isinstance(p, (list, tuple)) else (p,)
+                for s in subs:
+                    inner = getattr(s, "jaxpr", None)
+                    if isinstance(s, jex_core.Jaxpr) and walk(s):
+                        return True
+                    if inner is not None and isinstance(
+                            inner, jex_core.Jaxpr) and walk(inner):
+                        return True
+        return False
+
+    return walk(jaxpr.jaxpr if hasattr(jaxpr, "jaxpr") else jaxpr)
+
+
+def test_adaptive_revolve_backward_never_materializes_forcing():
+    """The BACKWARD pass must gather the per-step output forcing from the
+    O(n_out * state) cotangents inside the reverse scan — materializing it
+    up front is an O(max_steps * state) array, which defeats the
+    low-memory policies (round-3 review finding: solve_bwd once built
+    exactly that buffer before dispatching to the engines)."""
+    from pnode_tpu.adaptive import AdaptConfig, make_adaptive_odeint
+    from pnode_tpu.adjoint import TrajectoryConfig
+    from pnode_tpu.steppers import ExplicitRK
+    from pnode_tpu.tableaus import get_rk_tableau
+
+    stepper = ExplicitRK(get_rk_tableau("dopri5"),
+                         lambda t, y, p: p["a"] * y)
+    cfg = AdaptConfig(rtol=1e-6, atol=1e-6, max_steps=256)
+    params = {"a": jnp.array(-0.5)}
+    y0 = jnp.ones((8, 4))
+    for kind in ("revolve", "cams"):
+        solve = make_adaptive_odeint(
+            stepper, np.array([0.0, 1.0]), cfg, 0.05, with_adjoint=True,
+            traj=TrajectoryConfig(kind=kind, max_cps=4))
+
+        def loss(y0_, p_):
+            out, _ = solve(y0_, p_)
+            return jnp.sum(out[-1] ** 2)
+
+        jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1)))(y0, params)
+        assert not _jaxpr_has_shape(jaxpr, (256,) + y0.shape), (
+            f"{kind}: backward materializes an O(max_steps * state) array")
+
+
 def test_adaptive_policies_via_solver_flags_disk(tmp_path):
     """-ts_trajectory_type disk on the CPU backend streams the adaptive
     trial trajectory to a host memmap and reproduces store-all gradients."""

@@ -231,11 +231,17 @@ def test_fused_train_loop_nonuniform_layer_widths():
     ode, params, dt = _build(batch, nx)
     vim, _ = params
     # hand-built non-uniform MLP: 16 -> 136 -> 24 -> 16 (136 pads to 256)
+    # NONZERO biases + batch 4 (pads to 8 sublanes) are load-bearing:
+    # they regression-test the phantom-row mask — unmasked padded rows
+    # enter the MLP as x=0 but MLP(0) != 0 with biases, which corrupted
+    # the loss and the db gradients by ~50% before the mask (round-3
+    # review finding)
     dims = [nx, 136, 24, nx]
-    keys = jax.random.split(jax.random.PRNGKey(5), len(dims) - 1)
+    keys = jax.random.split(jax.random.PRNGKey(5), 2 * (len(dims) - 1))
     Ws = [jax.random.normal(k, (a, b), jnp.float32) * 0.05
-          for k, a, b in zip(keys, dims[:-1], dims[1:])]
-    bs = [jnp.zeros((b,), jnp.float32) for b in dims[1:]]
+          for k, a, b in zip(keys[::2], dims[:-1], dims[1:])]
+    bs = [jax.random.normal(k, (b,), jnp.float32) * 0.1
+          for k, b in zip(keys[1::2], dims[1:])]
 
     stp = ode._stepper.prepare(0.0, jnp.zeros((batch, nx), jnp.float32),
                                params, dt0=jnp.float32(dt))
