@@ -8,8 +8,21 @@ discrete-adjoint gradients, flow containers, and model builders.
 """
 
 from .layers import DIFFEQ_LAYERS, build_diffeq_layer
-from .odefunc import ODEnet, divergence_approx_fn, divergence_bf_fn
+from .odefunc import (
+    ODEnet,
+    AutoencoderDiffEqNet,
+    autoencoder_divergence_fn,
+    divergence_approx_fn,
+    divergence_bf_fn,
+)
 from .cnf import CNF
+from .other_flows import (
+    BruteForceLayer,
+    CouplingLayer,
+    MaskedCouplingLayer,
+    PlanarFlow,
+    SpectralDense,
+)
 from .flows import SequentialFlow, LogitTransform, SigmoidTransform, ZeroMeanTransform, MovingBatchNorm
 from .regularization import REGULARIZATION_FNS
 from .model_builders import build_model_tabular, standard_normal_logprob
@@ -18,9 +31,16 @@ __all__ = [
     "DIFFEQ_LAYERS",
     "build_diffeq_layer",
     "ODEnet",
+    "AutoencoderDiffEqNet",
+    "autoencoder_divergence_fn",
     "divergence_approx_fn",
     "divergence_bf_fn",
     "CNF",
+    "BruteForceLayer",
+    "CouplingLayer",
+    "MaskedCouplingLayer",
+    "PlanarFlow",
+    "SpectralDense",
     "SequentialFlow",
     "LogitTransform",
     "SigmoidTransform",

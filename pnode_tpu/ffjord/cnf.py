@@ -49,6 +49,7 @@ class CNF:
         regularization_fns: Sequence[str] = (),
         solver_options: Optional[dict] = None,
         event_shape: Optional[Tuple[int, ...]] = None,
+        autoencode: bool = False,
     ):
         """event_shape: non-batch shape of x for image CNFs (e.g. (H, W, C));
         the solver state is the flattened (B, prod(event_shape)+1+R) array
@@ -77,6 +78,21 @@ class CNF:
         self.R = len(self.reg_names)
         self.solver_options = solver_options or {}
         self._solvers: Dict = {}
+        # Autoencoder divergence through the bottleneck (reference
+        # AutoencoderODEfunc, odefunc.py:388-445): approximate-only, no
+        # regularization state — same restrictions as the reference.
+        self.autoencode = bool(autoencode)
+        if self.autoencode:
+            if self.R:
+                raise ValueError(
+                    "autoencode does not support regularization functionals "
+                    "(reference AutoencoderODEfunc takes only (y, logp))"
+                )
+            if divergence == "brute_force":
+                raise ValueError(
+                    "autoencode supports only the approximate divergence "
+                    "(reference odefunc.py:395-397)"
+                )
 
     # -- parameters ------------------------------------------------------
 
@@ -101,7 +117,21 @@ class CNF:
                 out = self.net.apply(p["net"], t_eff, zz_ev)
                 return out.reshape(zz.shape[0], -1)
 
-            if exact_div:
+            if self.autoencode:
+                from .odefunc import autoencoder_divergence_fn
+
+                def enc_closed(zz):
+                    zz_ev = zz.reshape((zz.shape[0],) + ev)
+                    return self.net.apply(p["net"], t_eff, zz_ev, method="encode")
+
+                def dec_closed(hh):
+                    out = self.net.apply(p["net"], t_eff, hh, method="decode")
+                    return out.reshape(hh.shape[0], -1)
+
+                e = jax.lax.stop_gradient(p["probe"])
+                dz, div = autoencoder_divergence_fn(enc_closed, dec_closed, z, e)
+                Je = jnp.zeros_like(z)
+            elif exact_div:
                 dz, div = divergence_bf_fn(f_closed, z)
                 e = jnp.zeros_like(z)
                 Je = jnp.zeros_like(z)
@@ -156,12 +186,17 @@ class CNF:
         dtype = x.dtype
         x_flat = x.reshape(B, -1)
         if exact_div:
+            if self.autoencode:
+                raise ValueError("autoencode has no brute-force divergence")
             probe = jnp.zeros_like(x_flat)
         else:
             if key is None:
                 raise ValueError("key required for the Hutchinson estimator")
+            probe_shape = (
+                (B, self.net.bottleneck_dim) if self.autoencode else x_flat.shape
+            )
             probe = sample_probe(
-                key, x_flat.shape, dtype,
+                key, probe_shape, dtype,
                 "rademacher" if self.rademacher else "gaussian",
             )
         if logpx is None:

@@ -74,6 +74,75 @@ class CouplingLayer(FlowLayer):
         return self._merge(a, b_new), delta, state
 
 
+def sample_mask(dim: int, mask_type: str = "alternate", swap: bool = False):
+    """Binary conditioning mask (reference coupling.py:90-106): 'alternate'
+    = MAF index masking (even indices 1), 'channel' = RealNVP half-split."""
+    mask = jnp.zeros((dim,))
+    if mask_type == "alternate":
+        mask = mask.at[::2].set(1.0)
+    elif mask_type == "channel":
+        mask = mask.at[: dim // 2].set(1.0)
+    else:
+        raise ValueError(f"Unknown mask_type {mask_type!r}")
+    if swap:
+        mask = 1.0 - mask
+    return mask
+
+
+class _MaskedNet(nn.Module):
+    hidden: Sequence[int]
+    out_dim: int
+    activation: str  # "relu" | "tanh"
+
+    @nn.compact
+    def __call__(self, x):
+        act = nn.relu if self.activation == "relu" else nn.tanh
+        h = x
+        for w in self.hidden:
+            h = act(nn.Dense(w)(h))
+        return nn.Dense(self.out_dim)(h)
+
+
+class MaskedCouplingLayer(FlowLayer):
+    """Masked affine coupling for the tabular experiments (reference
+    coupling.py:56-87 MaskedCouplingLayer): masked input conditions
+    elementwise exp-scale (tanh net) and shift (relu net); masked positions
+    pass through with unit scale, so log|det| = sum of unmasked log-scales.
+    """
+
+    def __init__(self, dim: int, hidden: Sequence[int] = (64, 64),
+                 mask_type: str = "alternate", swap: bool = False):
+        self.dim = dim
+        self.mask = sample_mask(dim, mask_type, swap)[None, :]
+        self.net_scale = _MaskedNet(tuple(hidden), dim, "tanh")
+        self.net_shift = _MaskedNet(tuple(hidden), dim, "relu")
+
+    def init(self, key, x):
+        k1, k2 = jax.random.split(key)
+        xm = x * self.mask.astype(x.dtype)
+        return {
+            "scale": self.net_scale.init(k1, xm),
+            "shift": self.net_shift.init(k2, xm),
+        }
+
+    def apply(self, params, x, delta, state, reverse=False, **kw):
+        mask = self.mask.astype(x.dtype)
+        xm = x * mask
+        log_s = self.net_scale.apply(params["scale"], xm)
+        shift = self.net_shift.apply(params["shift"], xm)
+        # masked positions: scale 1, shift 0 (identity)
+        masked_log_s = log_s * (1.0 - mask)
+        masked_shift = shift * (1.0 - mask)
+        logdet = jnp.sum(masked_log_s, axis=1, keepdims=True)
+        if reverse:
+            y = (x - masked_shift) * jnp.exp(-masked_log_s)
+            delta = delta + logdet
+        else:
+            y = x * jnp.exp(masked_log_s) + masked_shift
+            delta = delta - logdet
+        return y, delta, state
+
+
 class PlanarFlow(FlowLayer):
     """Planar flow x + u tanh(w.x + b) (lib/layers/planar.py); invertibility
     enforced by the u-hat reparameterization; forward direction only (the
