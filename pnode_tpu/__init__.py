@@ -20,6 +20,7 @@ from .options import Options, clear_options, init, options_left, set_option
 from .modules import DynamicsModule, FlaxFunc, Func, as_dynamics
 from .solver import ODESolver, ODEPnode
 from .adjoint import TrajectoryConfig
+from .disk_host import HostDiskTrajectory
 from .linsolve import gmres
 from .tableaus import get_ark_tableau, get_rk_tableau
 
@@ -38,6 +39,7 @@ __all__ = [
     "FlaxFunc",
     "as_dynamics",
     "TrajectoryConfig",
+    "HostDiskTrajectory",
     "gmres",
     "get_rk_tableau",
     "get_ark_tableau",

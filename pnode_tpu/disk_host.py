@@ -1,0 +1,311 @@
+"""Host-orchestrated disk trajectory: real disk spill on backends without
+host callbacks (the tunneled TPU).
+
+PETSc's DEFAULT trajectory type is disk (/root/reference/README.md:91-100):
+TSSolve writes every step's solution to disk; TSAdjointSolve reads them back
+in reverse. The jit-compiled engine in ``adjoint.py`` implements the policy
+with an ordered ``io_callback`` inside the scan — which the axon TPU backend
+cannot execute (verified round 3: the program hangs before producing output;
+see solver.py). This module keeps the capability REAL on such backends by
+moving the orchestration to the host — which is the reference's own
+architecture: petsc4py's TSSolve / TSAdjointSolve are eager C calls driven
+step-by-step from Python (petsc_adjoint.py:829, :871-890), not regions of
+one compiled graph.
+
+  forward   N/chunk jitted dispatches; each returns the chunk's per-step
+            states, which the host FETCHES (device->host transfers work on
+            every backend, including the tunnel) and appends to a disk
+            memmap (``-ts_trajectory_dirname``).
+  backward  explicit discrete-adjoint solve (the reference's TSAdjointSolve
+            + setCostGradients forcing): chunks are re-UPLOADED in reverse
+            order and swept by a jitted reverse kernel; the adjoint state
+            (lam, gp) never leaves the device.
+
+Device memory is O(chunk * state); the disk holds the O(n_steps * state)
+trajectory. Stages are recomputed inside ``step_adj`` (aux=None) — the
+same solution-only storage PETSc's disk trajectory defaults to.
+
+NOT jittable end-to-end BY DESIGN: ``jax.grad`` cannot trace across host
+I/O, so gradients come from the explicit :meth:`adjoint_solve` /
+:meth:`value_and_grad` — mirroring the reference's usage, where the forward
+runs under ``torch.no_grad`` and the backward is an explicit TSAdjoint loop
+(petsc_adjoint.py:905-947). Exactly two chunk-kernel compilations happen
+regardless of trajectory length (the full-chunk length and, if ragged, the
+remainder length).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .adjoint import SolveStats
+from .misc import tree_add, tree_zeros_like
+
+_COUNTER = [0]
+
+
+def _np_dtype(name: str):
+    if not name:
+        return None
+    if name in ("bf16", "bfloat16"):
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(name)
+
+
+class HostDiskTrajectory:
+    """Disk-backed trajectory + explicit adjoint for one (stepper, grid).
+
+    Parameters
+    ----------
+    stepper : prepared-capable stepper (``ODESolver._stepper``)
+    grid : TimeGrid (static schedule)
+    dirname : directory for the trajectory memmap
+        (``-ts_trajectory_dirname``, PETSc's flag)
+    chunk : steps per dispatch / per disk write (``-pnode_disk_chunk``)
+    store_dtype : optional compressed storage dtype ("bf16"/"float16"/...);
+        states are re-expanded before the stage transposes
+    sel : optional index array or slice subsetting the grid's outputs
+        (the solver's ``_prep_times`` selection)
+    """
+
+    def __init__(self, stepper, grid, dirname: str = "./ts_trajectory",
+                 chunk: int = 64, store_dtype: str = "", sel=None):
+        self.stepper = stepper
+        self.grid = grid
+        self.dirname = dirname
+        self.chunk = max(1, int(chunk))
+        if store_dtype in ("bf16",):
+            store_dtype = "bfloat16"  # the flag accepts either spelling
+        self._store_np = _np_dtype(store_dtype)
+        self._store_jnp = jnp.dtype(store_dtype) if store_dtype else None
+        if sel is None or (isinstance(sel, slice) and sel == slice(None)):
+            self.sel = None
+        else:
+            # normalize slice/array selections to an index array once
+            self.sel = np.arange(len(np.asarray(grid.out_idx)))[sel]
+        _COUNTER[0] += 1
+        self._path = os.path.join(
+            dirname, f"pnode_hostdisk_{os.getpid()}_{_COUNTER[0]}.npy"
+        )
+        self._mm = None
+        self._y_final = None
+        self._fwd_fns = {}
+        self._bwd_fns = {}
+        n = int(grid.n_steps)
+        self._t0 = float(grid.ts[0]) if n > 0 else 0.0
+        uniform = n > 0 and bool(
+            np.allclose(grid.dts, grid.dts[0], rtol=1e-12, atol=0.0)
+        )
+        self._dt0 = float(grid.dts[0]) if uniform else None
+
+    # -- compression -------------------------------------------------------
+
+    def _compress(self, x):
+        return x if self._store_jnp is None else x.astype(self._store_jnp)
+
+    # -- jitted chunk kernels (cached by chunk length: at most 2 compiles) --
+
+    def _fwd_fn(self, L: int):
+        fn = self._fwd_fns.get(L)
+        if fn is not None:
+            return fn
+        stepper, t0, dt0 = self.stepper, self._t0, self._dt0
+
+        @jax.jit
+        def run(y, ts_c, dts_c, params):
+            stp = stepper.prepare(t0, y, params, dt0=dt0)
+
+            def body(yy, x):
+                t, dt = x
+                y1, _, st = stp.step(t, dt, yy, params)
+                return y1, (self._compress(yy), st)
+
+            y_end, (hist, stats) = lax.scan(body, y, (ts_c, dts_c))
+            return (y_end, hist, jnp.sum(stats.newton_iters),
+                    jnp.all(stats.newton_converged))
+
+        self._fwd_fns[L] = run
+        return run
+
+    def _bwd_fn(self, L: int):
+        fn = self._bwd_fns.get(L)
+        if fn is not None:
+            return fn
+        stepper, t0, dt0 = self.stepper, self._t0, self._dt0
+
+        @jax.jit
+        def run(lam, gp, y_hist, ts_c, dts_c, force_c, params):
+            stp = stepper.prepare(t0, lam, params, dt0=dt0)
+
+            def body(carry, x):
+                lam_i, gp_i = carry
+                y_k, t_k, dt_k, f_k = x
+                y_k = y_k.astype(lam_i.dtype)
+                # aux=None: recompute stages (solution-only storage, the
+                # PETSc disk-trajectory default)
+                lam_new, gstep = stp.step_adj(t_k, dt_k, y_k, params,
+                                              None, lam_i)
+                lam_new = lam_new + f_k
+                return (lam_new, tree_add(gp_i, gstep)), None
+
+            (lam, gp), _ = lax.scan(
+                body, (lam, gp), (y_hist, ts_c, dts_c, force_c), reverse=True
+            )
+            return lam, gp
+
+        self._bwd_fns[L] = run
+        return run
+
+    # -- chunk geometry ------------------------------------------------------
+
+    def _chunks(self):
+        n = int(self.grid.n_steps)
+        edges = list(range(0, n, self.chunk)) + [n]
+        return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+
+    # -- forward -------------------------------------------------------------
+
+    def solve(self, y0, params) -> Tuple[jnp.ndarray, SolveStats]:
+        """Forward solve; every step's solution streams to the disk memmap.
+
+        Returns (outputs, stats) like ``ODESolver.solve``. The final output
+        is exact (device value); interior outputs read back through the
+        (possibly compressed) disk store.
+        """
+        grid = self.grid
+        n = int(grid.n_steps)
+        y0 = jnp.asarray(y0)
+        out_idx = np.asarray(grid.out_idx)
+        if n == 0:
+            outputs = jnp.stack([y0 for _ in out_idx])
+            stats = SolveStats(jnp.zeros((), jnp.int32), jnp.asarray(True))
+            return (outputs if self.sel is None else outputs[self.sel]), stats
+
+        os.makedirs(self.dirname, exist_ok=True)
+        store_dt = self._store_np or np.dtype(np.asarray(
+            jax.device_get(jnp.zeros((), y0.dtype))).dtype)
+        mm = np.lib.format.open_memmap(
+            self._path, mode="w+", dtype=store_dt,
+            shape=(n + 1,) + tuple(y0.shape),
+        )
+        self._mm = mm
+
+        ts_np = np.asarray(grid.ts)
+        dts_np = np.asarray(grid.dts)
+        y = y0
+        nit = 0
+        conv = True
+        for a, b in self._chunks():
+            run = self._fwd_fn(b - a)
+            y, hist, it_c, cv_c = run(
+                y, jnp.asarray(ts_np[a:b], y0.dtype),
+                jnp.asarray(dts_np[a:b], y0.dtype), params,
+            )
+            # device->host fetch: the only sync primitive the tunneled
+            # backend has — and all this engine needs
+            mm[a:b] = np.asarray(jax.device_get(hist))
+            nit += int(it_c)
+            conv = conv and bool(cv_c)
+        y_final = y
+        mm[n] = np.asarray(jax.device_get(self._compress(y_final)))
+        mm.flush()
+        self._y_final = y_final
+
+        outs = []
+        for oi in out_idx:
+            if oi == n:
+                outs.append(y_final)  # exact, never round-tripped
+            elif oi == 0:
+                outs.append(y0)
+            else:
+                outs.append(jnp.asarray(mm[oi], y0.dtype))
+        outputs = jnp.stack(outs)
+        stats = SolveStats(jnp.asarray(nit, jnp.int32), jnp.asarray(conv))
+        return (outputs if self.sel is None else outputs[self.sel]), stats
+
+    # -- explicit adjoint ------------------------------------------------------
+
+    def adjoint_solve(self, g_outputs, params):
+        """Discrete adjoint from output cotangents (TSAdjointSolve +
+        setCostGradients forcing, reference petsc_adjoint.py:871-890).
+
+        ``g_outputs``: cotangent per RETURNED output (post-``sel``).
+        Returns ``(grad_y0, grad_params)`` — identical to what
+        ``jax.grad`` of the in-memory path produces for the same loss.
+        """
+        if self._mm is None:
+            raise RuntimeError("run solve() before adjoint_solve()")
+        grid = self.grid
+        n = int(grid.n_steps)
+        out_idx = np.asarray(grid.out_idx)
+        g_np = np.asarray(jax.device_get(jnp.stack(list(g_outputs))),
+                          dtype=np.float64)
+
+        # undo the output selection: scatter-add back onto grid outputs
+        if self.sel is not None:
+            g_full = np.zeros((len(out_idx),) + g_np.shape[1:], g_np.dtype)
+            np.add.at(g_full, self.sel, g_np)
+            g_np = g_full
+
+        state_shape = tuple(g_np.shape[1:])
+        dtype = self._y_final.dtype if self._y_final is not None else jnp.float32
+
+        def node_force(k):
+            f = np.zeros(state_shape, np.float64)
+            for i, oi in enumerate(out_idx):
+                if oi == k:
+                    f += g_np[i]
+            return f
+
+        lam = jnp.asarray(node_force(n), dtype)
+        gp = tree_zeros_like(params)
+        if n == 0:
+            return lam, gp
+
+        ts_np = np.asarray(grid.ts)
+        dts_np = np.asarray(grid.dts)
+        mm = self._mm
+        hit_nodes = set(int(x) for x in out_idx)
+        for a, b in reversed(self._chunks()):
+            run = self._bwd_fn(b - a)
+            force_c = np.zeros((b - a,) + state_shape, np.float64)
+            for k in range(a, b):
+                if k in hit_nodes:
+                    force_c[k - a] = node_force(k)
+            lam, gp = run(
+                lam, gp,
+                jnp.asarray(mm[a:b]),  # host->device re-upload of the chunk
+                jnp.asarray(ts_np[a:b], dtype),
+                jnp.asarray(dts_np[a:b], dtype),
+                jnp.asarray(force_c, dtype),
+                params,
+            )
+        return lam, gp
+
+    # -- convenience -------------------------------------------------------
+
+    def value_and_grad(self, loss_fn: Callable, y0, params):
+        """loss_fn(outputs) -> scalar; returns (loss, (grad_y0, grad_params)).
+
+        The loss and its output-cotangents are computed on device (outputs
+        are n_out states — small); the trajectory stays on disk.
+        """
+        outputs, _ = self.solve(y0, params)
+        loss, g_out = jax.value_and_grad(loss_fn)(outputs)
+        grad_y0, grad_p = self.adjoint_solve(g_out, params)
+        return loss, (grad_y0, grad_p)
+
+    def close(self):
+        if self._mm is not None:
+            del self._mm
+            self._mm = None
+        if os.path.exists(self._path):
+            os.remove(self._path)

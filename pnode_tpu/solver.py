@@ -230,7 +230,11 @@ class ODESolver:
                     "-ts_trajectory_type disk needs host callbacks, which "
                     "this TPU backend lacks; substituting the CAMS "
                     "checkpoint schedule at the -ts_trajectory_max_cps_ram "
-                    "budget (default 16)"
+                    "budget (default 16) for jit-traced solves. REAL disk "
+                    "spill is available on this backend through the "
+                    "host-orchestrated eager driver: "
+                    "ODESolver.disk_trajectory_solver(t) (pnode_tpu/"
+                    "disk_host.py)"
                 )
                 traj_kind = "cams"
                 max_cps = max_cps or 16
@@ -412,6 +416,49 @@ class ODESolver:
         self.nfe_forward += grid.n_steps * self._stepper.nfe_per_step
         self.last_stats = stats
         return outputs[sel], stats
+
+    def disk_trajectory_solver(self, t, chunk: Optional[int] = None):
+        """Real ``-ts_trajectory_type disk`` for backends without host
+        callbacks (the tunneled TPU): a host-orchestrated
+        :class:`~pnode_tpu.disk_host.HostDiskTrajectory` bound to this
+        solver's stepper and the step schedule for ``t``.
+
+        The returned object runs the forward as chunked jitted dispatches
+        whose per-step states stream to a disk memmap via device->host
+        fetches, and computes gradients by an EXPLICIT adjoint solve that
+        re-uploads chunks in reverse (the reference's TSSolve /
+        TSAdjointSolve architecture, petsc_adjoint.py:829, :871-890). Use
+        ``.solve(y0, params)`` / ``.adjoint_solve(g_outputs, params)`` /
+        ``.value_and_grad(loss_fn, y0, params)``; it is an eager driver,
+        not jittable end-to-end (that is what makes it work where the
+        io_callback engine hangs). Fixed-grid schedules only; under
+        ``-ts_adapt_type`` use the CAMS substitution instead.
+
+        ``chunk`` (or ``-pnode_disk_chunk``, default 64) bounds device
+        memory at O(chunk * state); disk holds the full trajectory in
+        ``-ts_trajectory_dirname``.
+        """
+        if not self._configured:
+            raise RuntimeError("call setupTS before disk_trajectory_solver")
+        if self.adapt_type not in (None, "none"):
+            raise ValueError(
+                "disk_trajectory_solver covers fixed-grid schedules; the "
+                "adaptive path substitutes CAMS (see solver.py setupTS)"
+            )
+        from .disk_host import HostDiskTrajectory
+
+        t_full, sel = self._prep_times(t)
+        grid = build_time_grid(
+            t_full, self.step_size, dtype=self.dtype, max_steps=self.max_steps
+        )
+        if chunk is None:
+            chunk = self.opts.get_int("pnode_disk_chunk", 64)
+        dirname = self.opts.get_string("ts_trajectory_dirname",
+                                       "./ts_trajectory")
+        return HostDiskTrajectory(
+            self._stepper, grid, dirname=dirname, chunk=chunk,
+            store_dtype=self.traj.store_dtype, sel=sel,
+        )
 
     # -- reference-parity entry points ----------------------------------
 

@@ -365,6 +365,54 @@ def main() -> int:
     gate("fused train loop vs generic", dl7 < 1e-4 and dp7 < 5e-4,
          f"loss diff {dl7:.2e}, param diff {dp7:.2e} after {K} Adam steps")
 
+    # -- 8. host-orchestrated disk trajectory (the real -ts_trajectory_type
+    #       disk on this backend: io_callback hangs here, device->host
+    #       fetches do not) vs in-memory adjoint gradients ------------------
+    import tempfile
+
+    pnode_tpu.clear_options()
+    with tempfile.TemporaryDirectory() as tdir:
+        pnode_tpu.init(["smoke", "-snes_type", "ksponly",
+                        "-ts_trajectory_dirname", tdir])
+        Bd, dd = 16, 16
+        im8 = KSFuncIM(nx=dd)
+        ex8 = KSFuncEX(nx=dd, hidden=24, use_pallas=True)
+        tmpl8 = jnp.zeros((Bd, dd), jnp.float32)
+        vim8 = im8.init(jax.random.PRNGKey(3), 0.0, tmpl8)
+        vex8 = ex8.init(jax.random.PRNGKey(3), 0.0, tmpl8)
+        ode8 = ODESolver()
+        ode8.setupTS(tmpl8, FlaxFunc(im8, vim8), step_size=dt, method="imex",
+                     imex_form=True, implicit_form=True,
+                     func2=FlaxFunc(ex8, vex8), linear_solver="hpddm",
+                     fixed_jacobian=True, batch_size=Bd, enable_adjoint=True)
+        p8 = (vim8, vex8)
+        y8 = jax.random.normal(jax.random.PRNGKey(4), (Bd, dd), jnp.float32)
+        t8 = np.array([0.0, 1.2, 2.4])  # 12 steps, interior output forcing
+
+        def loss_mem(pp):
+            pr, _ = ode8.solve(y8, t8, params=pp, with_adjoint=True)
+            return jnp.mean(pr[1:] ** 2)
+
+        g_mem = jax.grad(loss_mem)(p8)
+
+        dsk = ode8.disk_trajectory_solver(t8, chunk=5)  # ragged chunks
+        _, (gy8, g_dsk) = dsk.value_and_grad(
+            lambda outs: jnp.mean(outs[1:] ** 2), y8, p8)
+        dsk.close()
+        num = max(
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(jax.tree_util.tree_leaves(g_dsk),
+                            jax.tree_util.tree_leaves(g_mem))
+        )
+        den = max(
+            float(jnp.max(jnp.abs(a)))
+            for a in jax.tree_util.tree_leaves(g_mem)
+        )
+        gate("disk trajectory adjoint vs in-memory",
+             num < 1e-3 * max(den, 1e-6),
+             f"max grad diff {num:.2e} on scale {den:.2e} "
+             f"(chunked dispatches + disk memmap round-trip)")
+
     print("SMOKE", "FAILED: " + ", ".join(failures) if failures else "OK")
     return 1 if failures else 0
 
