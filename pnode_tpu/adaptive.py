@@ -97,6 +97,27 @@ def _wrms(err, y0, y1, rtol, atol):
     return jnp.sqrt(jnp.mean((err / scale) ** 2))
 
 
+def _gated_adj(stp, params, t_k, dt_k, y_k, aux_k, acc_k, slot_k, g_out,
+               lam, gp):
+    """One gated reverse trial step: inject the slot's output cotangent,
+    then transpose the step iff it was accepted (rejected / never-reached
+    trials reverse as identities). Shared by every adaptive policy engine
+    and the host-orchestrated disk driver (disk_host.py)."""
+    f_k = jnp.where(
+        slot_k >= 0,
+        g_out[jnp.maximum(slot_k, 0)].astype(lam.dtype),
+        jnp.zeros_like(lam),
+    )
+    lam = lam + f_k
+
+    def do(args):
+        lam_i, gp_i = args
+        lam_n, gstep = stp.step_adj(t_k, dt_k, y_k, params, aux_k, lam_i)
+        return lam_n, tree_add(gp_i, gstep)
+
+    return lax.cond(acc_k, do, lambda a: a, (lam, gp))
+
+
 def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
                          dt0: float, with_adjoint: bool = True,
                          traj=None):
@@ -377,22 +398,6 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
     # whole point of revolve/CAMS here). Rejected (and never-reached)
     # steps are gated to identity with lax.cond, so only accepted steps
     # pay a stage transpose at runtime.
-
-    def _gated_adj(stp, params, t_k, dt_k, y_k, aux_k, acc_k, slot_k, g_out,
-                   lam, gp):
-        f_k = jnp.where(
-            slot_k >= 0,
-            g_out[jnp.maximum(slot_k, 0)].astype(lam.dtype),
-            jnp.zeros_like(lam),
-        )
-        lam = lam + f_k
-
-        def do(args):
-            lam_i, gp_i = args
-            lam_n, gstep = stp.step_adj(t_k, dt_k, y_k, params, aux_k, lam_i)
-            return lam_n, tree_add(gp_i, gstep)
-
-        return lax.cond(acc_k, do, lambda a: a, (lam, gp))
 
     def _gated_step(stp, params, t_k, dt_k, acc_k, y):
         # replay advance: step() is step_embedded() minus the error

@@ -309,3 +309,279 @@ class HostDiskTrajectory:
             self._mm = None
         if os.path.exists(self._path):
             os.remove(self._path)
+
+
+class AdaptiveHostDiskTrajectory:
+    """Host-orchestrated disk trajectory for the ADAPTIVE path
+    (``-ts_adapt_type basic`` + ``-ts_trajectory_type disk`` on backends
+    without host callbacks) — PETSc's default configuration: TSAdapt with
+    the disk TSTrajectory (/root/reference/README.md:91-100).
+
+    Same architecture as :class:`HostDiskTrajectory`, chunked over the
+    STATIC trial-step axis (``-ts_adapt_max_steps``): the forward runs the
+    bounded adaptive controller scan ``chunk`` trials per dispatch,
+    carrying the controller state (t, dt, output cursor, error history)
+    across dispatches, and fetches each chunk's per-trial-step states into
+    the disk memmap; the backward re-uploads chunks in reverse and sweeps
+    them with the acc-gated stage transposes (``adaptive._gated_adj`` —
+    the exact engine the in-memory policies use).
+
+    The controller body REPLICATES adaptive.make_adaptive_odeint's
+    trial-step body (the plain-record branch); the tether against drift is
+    tests/test_disk_host.py::test_adaptive_disk_host_bit_parity, which
+    asserts outputs, stats, AND gradients are identical to the in-memory
+    solution_only engine.
+    """
+
+    def __init__(self, stepper, t_out, cfg, dt0: float,
+                 dirname: str = "./ts_trajectory", chunk: int = 64,
+                 store_dtype: str = "", sel=None):
+        from .adaptive import AdaptConfig  # noqa: F401 (type anchor)
+
+        self.stepper = stepper
+        self.t_out = np.asarray(t_out, np.float64)
+        self.cfg = cfg
+        self.dt0 = float(dt0)
+        self.dirname = dirname
+        self.chunk = max(1, int(chunk))
+        if store_dtype in ("bf16",):
+            store_dtype = "bfloat16"
+        self._store_np = _np_dtype(store_dtype)
+        self._store_jnp = jnp.dtype(store_dtype) if store_dtype else None
+        n_out = len(self.t_out)
+        if sel is None or (isinstance(sel, slice) and sel == slice(None)):
+            self.sel = None
+        else:
+            self.sel = np.arange(n_out)[sel]
+        _COUNTER[0] += 1
+        self._path = os.path.join(
+            dirname, f"pnode_hostdisk_adapt_{os.getpid()}_{_COUNTER[0]}.npy"
+        )
+        self._mm = None
+        self._scalars = None
+        self._fwd_fns = {}
+        self._bwd_fns = {}
+
+    def _compress(self, x):
+        return x if self._store_jnp is None else x.astype(self._store_jnp)
+
+    def _prepared(self, y, params):
+        prep = getattr(self.stepper, "prepare", None)
+        if prep is None:
+            return self.stepper
+        tdt = jnp.promote_types(y.dtype, jnp.float32)
+        # dt0=None: dt varies under the controller (adaptive._prepared)
+        return prep(jnp.asarray(self.t_out[0], tdt), y, params, dt0=None)
+
+    # -- jitted chunk kernels (cached by length: at most 2 compiles each) ---
+
+    def _fwd_fn(self, L: int):
+        fn = self._fwd_fns.get(L)
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+        t_out = self.t_out
+        n_out = len(t_out)
+        expo = 1.0 / (cfg.order + 1)
+
+        @jax.jit
+        def run(carry, params):
+            (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv, eprev) = carry
+            stp = self._prepared(y, params)
+            tdtype = t.dtype
+            touts = jnp.asarray(t_out, tdtype)
+            t_end = touts[-1]
+
+            def body(c, _):
+                # MIRRORS adaptive.make_adaptive_odeint's trial body (plain
+                # branch) — keep in lockstep; the bit-parity test enforces it
+                (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv,
+                 eprev) = c
+                done = out_i >= n_out
+                target = touts[jnp.minimum(out_i, n_out - 1)]
+                dt_try = jnp.minimum(dt, target - t)
+                dt_try = jnp.maximum(dt_try, jnp.asarray(0.0, tdtype))
+
+                y1, err, aux, st = stp.step_embedded(t, dt_try, y, params)
+                from .adaptive import _wrms
+
+                enorm = _wrms(err, y, y1, cfg.rtol, cfg.atol)
+                accept = jnp.logical_or(enorm <= 1.0,
+                                        dt_try <= 1e-14 * t_end)
+                accept = jnp.logical_and(accept, jnp.logical_not(done))
+
+                e_cur = jnp.maximum(enorm, 1e-10)
+                if cfg.controller == "pi":
+                    fac = (cfg.safety
+                           * jnp.power(e_cur, -cfg.pi_kI * expo)
+                           * jnp.power(eprev, cfg.pi_kP * expo))
+                else:
+                    fac = cfg.safety * jnp.power(e_cur, -expo)
+                fac = jnp.clip(fac, cfg.dt_min_factor, cfg.dt_max_factor)
+                dt_next = jnp.where(done, dt, dt * fac)
+                eprev_new = jnp.where(accept, e_cur, eprev)
+
+                t_new = jnp.where(accept, t + dt_try, t)
+                y_new = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(accept, b, a), y, y1
+                )
+                tol = 1e-10 * jnp.maximum(jnp.abs(target), 1.0)
+                landed = jnp.logical_and(accept, t_new >= target - tol)
+                out_slot = jnp.where(landed, out_i, -1)
+                outputs = jnp.where(
+                    (jnp.arange(n_out) == out_slot).reshape(
+                        (-1,) + (1,) * y.ndim
+                    ),
+                    y_new[None],
+                    outputs,
+                )
+                out_i = jnp.where(landed, out_i + 1, out_i)
+                n_acc2 = n_acc + jnp.where(accept, 1, 0)
+                n_rej2 = n_rej + jnp.where(
+                    jnp.logical_and(jnp.logical_not(accept),
+                                    jnp.logical_not(done)), 1, 0,
+                )
+                nit2 = nit + st.newton_iters
+                conv2 = jnp.logical_and(conv, st.newton_converged)
+                new_c = (t_new, y_new, dt_next, out_i, outputs, n_acc2,
+                         n_rej2, nit2, conv2, eprev_new)
+                rec = (t, dt_try, accept, out_slot, self._compress(y))
+                return new_c, rec
+
+            carry2, recs = lax.scan(body, carry, None, length=L)
+            return carry2, recs
+
+        self._fwd_fns[L] = run
+        return run
+
+    def _bwd_fn(self, L: int):
+        fn = self._bwd_fns.get(L)
+        if fn is not None:
+            return fn
+
+        @jax.jit
+        def run(lam, gp, y_hist, t_r, dt_r, acc_r, slot_r, g_out, params):
+            from .adaptive import _gated_adj
+
+            stp = self._prepared(lam, params)
+
+            def body(carry, x):
+                lam_i, gp_i = carry
+                t_k, dt_k, acc_k, s_k, y_k = x
+                y_k = y_k.astype(lam_i.dtype)
+                lam_i, gp_i = _gated_adj(
+                    stp, params, t_k, dt_k, y_k, None, acc_k, s_k, g_out,
+                    lam_i, gp_i,
+                )
+                return (lam_i, gp_i), None
+
+            (lam, gp), _ = lax.scan(
+                body, (lam, gp), (t_r, dt_r, acc_r, slot_r, y_hist),
+                reverse=True,
+            )
+            return lam, gp
+
+        self._bwd_fns[L] = run
+        return run
+
+    def _chunks(self):
+        n = int(self.cfg.max_steps)
+        edges = list(range(0, n, self.chunk)) + [n]
+        return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+
+    # -- forward -----------------------------------------------------------
+
+    def solve(self, y0, params):
+        from .adaptive import AdaptiveStats
+
+        y0 = jnp.asarray(y0)
+        n_out = len(self.t_out)
+        max_steps = int(self.cfg.max_steps)
+        tdtype = jnp.promote_types(y0.dtype, jnp.float32)
+
+        os.makedirs(self.dirname, exist_ok=True)
+        store_dt = self._store_np or np.dtype(np.asarray(
+            jax.device_get(jnp.zeros((), y0.dtype))).dtype)
+        mm = np.lib.format.open_memmap(
+            self._path, mode="w+", dtype=store_dt,
+            shape=(max_steps,) + tuple(y0.shape),
+        )
+        self._mm = mm
+        t_sc = np.zeros((max_steps,), np.float64)
+        dt_sc = np.zeros((max_steps,), np.float64)
+        acc_sc = np.zeros((max_steps,), bool)
+        slot_sc = np.full((max_steps,), -1, np.int64)
+
+        outputs0 = jnp.broadcast_to(
+            y0, (n_out,) + y0.shape).astype(y0.dtype)
+        carry = (
+            jnp.asarray(self.t_out[0], tdtype), y0,
+            jnp.asarray(self.dt0, tdtype), jnp.asarray(1), outputs0,
+            jnp.asarray(0), jnp.asarray(0), jnp.asarray(0, jnp.int32),
+            jnp.asarray(True), jnp.asarray(1.0, tdtype),
+        )
+        for a, b in self._chunks():
+            run = self._fwd_fn(b - a)
+            carry, recs = run(carry, params)
+            t_r, dt_r, acc_r, slot_r, y_r = recs
+            # device->host fetch: states to disk, scalar record to RAM
+            mm[a:b] = np.asarray(jax.device_get(y_r))
+            t_sc[a:b] = np.asarray(jax.device_get(t_r), np.float64)
+            dt_sc[a:b] = np.asarray(jax.device_get(dt_r), np.float64)
+            acc_sc[a:b] = np.asarray(jax.device_get(acc_r))
+            slot_sc[a:b] = np.asarray(jax.device_get(slot_r))
+        mm.flush()
+        self._scalars = (t_sc, dt_sc, acc_sc, slot_sc)
+        self._tdtype = tdtype
+
+        (_, _, _, out_i, outputs, n_acc, n_rej, nit, conv, _) = carry
+        stats = AdaptiveStats(
+            steps=n_acc + n_rej, accepted=n_acc, rejected=n_rej,
+            newton_iters=nit, newton_converged=conv,
+            completed=out_i >= n_out,
+        )
+        return (outputs if self.sel is None else outputs[self.sel]), stats
+
+    # -- explicit adjoint ----------------------------------------------------
+
+    def adjoint_solve(self, g_outputs, params):
+        if self._mm is None:
+            raise RuntimeError("run solve() before adjoint_solve()")
+        n_out = len(self.t_out)
+        g = jnp.stack(list(g_outputs))
+        if self.sel is not None:
+            g_full = jnp.zeros((n_out,) + g.shape[1:], g.dtype)
+            g_full = g_full.at[jnp.asarray(self.sel)].add(g)
+            g = g_full
+        dtype = g.dtype
+        lam = jnp.zeros(g.shape[1:], dtype)
+        gp = tree_zeros_like(params)
+        t_sc, dt_sc, acc_sc, slot_sc = self._scalars
+        mm = self._mm
+        for a, b in reversed(self._chunks()):
+            run = self._bwd_fn(b - a)
+            lam, gp = run(
+                lam, gp,
+                jnp.asarray(mm[a:b]),
+                jnp.asarray(t_sc[a:b], self._tdtype),
+                jnp.asarray(dt_sc[a:b], self._tdtype),
+                jnp.asarray(acc_sc[a:b]),
+                jnp.asarray(slot_sc[a:b], jnp.int32),
+                g, params,
+            )
+        # t_out[0] output is y0 itself (adaptive.solve_bwd tail)
+        lam = lam + g[0]
+        return lam, gp
+
+    def value_and_grad(self, loss_fn: Callable, y0, params):
+        outputs, _ = self.solve(y0, params)
+        loss, g_out = jax.value_and_grad(loss_fn)(outputs)
+        grad_y0, grad_p = self.adjoint_solve(g_out, params)
+        return loss, (grad_y0, grad_p)
+
+    def close(self):
+        if self._mm is not None:
+            del self._mm
+            self._mm = None
+        if os.path.exists(self._path):
+            os.remove(self._path)

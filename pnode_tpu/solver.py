@@ -338,49 +338,57 @@ class ODESolver:
             return t_full, slice(1, 2)
         return t_np, slice(None)
 
+    def _build_adapt_cfg(self):
+        """(AdaptConfig, dt0) from the options database — shared between the
+        jitted adaptive engine and the host-orchestrated disk driver."""
+        from .adaptive import AdaptConfig
+
+        if not hasattr(self._stepper, "step_embedded"):
+            raise ValueError(
+                "-ts_adapt_type basic needs an embedded error estimate; "
+                f"method {self.method!r} has none (use an embedded RK "
+                "(bosh3/dopri5) or an ARK pair with b_err, or "
+                "-ts_adapt_type none)"
+            )
+        tab = getattr(self._stepper, "tab", None)
+        order = getattr(tab, "order", 5) if tab is not None else 2
+        # -ts_adapt_clip low,high (PETSc TSAdaptSetClip parity)
+        clip = self.opts.get_string("ts_adapt_clip", "")
+        lo, hi = 0.1, 10.0
+        if clip:
+            parts = [p for p in clip.replace(",", " ").split() if p]
+            if len(parts) == 2:
+                lo, hi = float(parts[0]), float(parts[1])
+            else:
+                warnings.warn(
+                    f"-ts_adapt_clip expects 'low,high'; got {clip!r}"
+                )
+        cfg = AdaptConfig(
+            rtol=self.opts.get_real("ts_rtol", 1e-4),
+            atol=self.opts.get_real("ts_atol", 1e-4),
+            safety=self.opts.get_real("ts_adapt_safety", 0.9),
+            dt_min_factor=lo,
+            dt_max_factor=hi,
+            max_steps=min(self.max_steps,
+                          self.opts.get_int("ts_adapt_max_steps", 4096)),
+            order=order,
+            controller="pi" if self.adapt_type == "pi" else "basic",
+        )
+        dt0 = (
+            float(self.step_size[0])
+            if isinstance(self.step_size, (list, tuple))
+            else float(self.step_size)
+        )
+        return cfg, dt0
+
     def _get_adaptive_fn(self, t_full, with_adjoint: bool):
-        from .adaptive import AdaptConfig, make_adaptive_odeint
+        from .adaptive import make_adaptive_odeint
 
         key = ("adaptive", tuple(float(x) for x in t_full), with_adjoint,
                self.traj)
         fn = self._cache.get(key)
         if fn is None:
-            if not hasattr(self._stepper, "step_embedded"):
-                raise ValueError(
-                    "-ts_adapt_type basic needs an embedded error estimate; "
-                    f"method {self.method!r} has none (use an embedded RK "
-                    "(bosh3/dopri5) or an ARK pair with b_err, or "
-                    "-ts_adapt_type none)"
-                )
-            tab = getattr(self._stepper, "tab", None)
-            order = getattr(tab, "order", 5) if tab is not None else 2
-            # -ts_adapt_clip low,high (PETSc TSAdaptSetClip parity)
-            clip = self.opts.get_string("ts_adapt_clip", "")
-            lo, hi = 0.1, 10.0
-            if clip:
-                parts = [p for p in clip.replace(",", " ").split() if p]
-                if len(parts) == 2:
-                    lo, hi = float(parts[0]), float(parts[1])
-                else:
-                    warnings.warn(
-                        f"-ts_adapt_clip expects 'low,high'; got {clip!r}"
-                    )
-            cfg = AdaptConfig(
-                rtol=self.opts.get_real("ts_rtol", 1e-4),
-                atol=self.opts.get_real("ts_atol", 1e-4),
-                safety=self.opts.get_real("ts_adapt_safety", 0.9),
-                dt_min_factor=lo,
-                dt_max_factor=hi,
-                max_steps=min(self.max_steps,
-                              self.opts.get_int("ts_adapt_max_steps", 4096)),
-                order=order,
-                controller="pi" if self.adapt_type == "pi" else "basic",
-            )
-            dt0 = (
-                float(self.step_size[0])
-                if isinstance(self.step_size, (list, tuple))
-                else float(self.step_size)
-            )
+            cfg, dt0 = self._build_adapt_cfg()
             fn = jax.jit(
                 make_adaptive_odeint(
                     self._stepper, t_full, cfg, dt0,
@@ -431,8 +439,9 @@ class ODESolver:
         ``.solve(y0, params)`` / ``.adjoint_solve(g_outputs, params)`` /
         ``.value_and_grad(loss_fn, y0, params)``; it is an eager driver,
         not jittable end-to-end (that is what makes it work where the
-        io_callback engine hangs). Fixed-grid schedules only; under
-        ``-ts_adapt_type`` use the CAMS substitution instead.
+        io_callback engine hangs). Under ``-ts_adapt_type`` the adaptive
+        variant chunks the static trial axis instead (PETSc's default
+        configuration: TSAdapt + disk TSTrajectory).
 
         ``chunk`` (or ``-pnode_disk_chunk``, default 64) bounds device
         memory at O(chunk * state); disk holds the full trajectory in
@@ -440,21 +449,22 @@ class ODESolver:
         """
         if not self._configured:
             raise RuntimeError("call setupTS before disk_trajectory_solver")
-        if self.adapt_type not in (None, "none"):
-            raise ValueError(
-                "disk_trajectory_solver covers fixed-grid schedules; the "
-                "adaptive path substitutes CAMS (see solver.py setupTS)"
-            )
-        from .disk_host import HostDiskTrajectory
+        from .disk_host import AdaptiveHostDiskTrajectory, HostDiskTrajectory
 
         t_full, sel = self._prep_times(t)
-        grid = build_time_grid(
-            t_full, self.step_size, dtype=self.dtype, max_steps=self.max_steps
-        )
         if chunk is None:
             chunk = self.opts.get_int("pnode_disk_chunk", 64)
         dirname = self.opts.get_string("ts_trajectory_dirname",
                                        "./ts_trajectory")
+        if self.adapt_type not in (None, "none"):
+            cfg, dt0 = self._build_adapt_cfg()
+            return AdaptiveHostDiskTrajectory(
+                self._stepper, t_full, cfg, dt0, dirname=dirname,
+                chunk=chunk, store_dtype=self.traj.store_dtype, sel=sel,
+            )
+        grid = build_time_grid(
+            t_full, self.step_size, dtype=self.dtype, max_steps=self.max_steps
+        )
         return HostDiskTrajectory(
             self._stepper, grid, dirname=dirname, chunk=chunk,
             store_dtype=self.traj.store_dtype, sel=sel,

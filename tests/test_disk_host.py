@@ -164,11 +164,53 @@ def test_disk_host_bf16_compression(tmp_path):
     dsk2.close()
 
 
-def test_disk_host_rejects_adaptive():
+def _setup_adaptive(method, implicit, max_steps=512, tmp=None):
     pnode_tpu.clear_options()
-    pnode_tpu.init(["p", "-ts_adapt_type", "basic"])
+    flags = ["p", "-ts_adapt_type", "basic", "-ts_rtol", "1e-4",
+             "-ts_atol", "1e-6", "-ts_adapt_max_steps", str(max_steps)]
+    if tmp is not None:
+        flags += ["-ts_trajectory_dirname", str(tmp)]
+    pnode_tpu.init(flags)
     ode = ODESolver()
-    ode.setupTS(Y0, (f_lin, P), step_size=0.05, method="cn",
-                implicit_form=True, enable_adjoint=True)
-    with pytest.raises(ValueError, match="fixed-grid"):
-        ode.disk_trajectory_solver(jnp.asarray([0.0, 1.0]))
+    ode.setupTS(Y0, (f_lin, P), step_size=0.05, method=method,
+                implicit_form=implicit, enable_adjoint=True)
+    return ode
+
+
+@pytest.mark.parametrize("method,implicit", [("cn", True), ("dopri5", False)])
+def test_adaptive_disk_host_bit_parity(method, implicit, tmp_path):
+    """The host-orchestrated adaptive disk engine must reproduce the
+    in-memory adaptive engine EXACTLY: same outputs, same step counts,
+    identical gradients (the controller body is a mirror — this test is
+    the tether against drift)."""
+    t = jnp.linspace(0.0, 1.0, 3)
+    ode = _setup_adaptive(method, implicit)
+
+    def loss_mem(p, y0):
+        sol, _ = ode.solve(y0, t, params=p, with_adjoint=True)
+        return _loss(sol)
+
+    l_ref, (gp_ref, gy_ref) = jax.value_and_grad(
+        loss_mem, argnums=(0, 1))(P, Y0)
+    sol_ref, st_ref = ode.solve(Y0, t, params=P, with_adjoint=True)
+
+    ode2 = _setup_adaptive(method, implicit, tmp=tmp_path)
+    dsk = ode2.disk_trajectory_solver(t, chunk=7)  # ragged trial chunks
+    sol, st = dsk.solve(Y0, P)
+    np.testing.assert_array_equal(np.asarray(sol), np.asarray(sol_ref))
+    assert int(st.accepted) == int(st_ref.accepted)
+    assert int(st.rejected) == int(st_ref.rejected)
+    assert bool(st.completed)
+
+    l_dsk, (gy, gp) = dsk.value_and_grad(_loss, Y0, P)
+    np.testing.assert_allclose(float(l_dsk), float(l_ref), rtol=1e-12)
+    np.testing.assert_allclose(gy, gy_ref, rtol=1e-10, atol=1e-13)
+    for k in gp_ref:
+        np.testing.assert_allclose(gp[k], gp_ref[k], rtol=1e-10, atol=1e-13)
+
+    # the trial-axis trajectory is on disk, trial-step states included
+    mm = np.load(dsk._path, mmap_mode="r")
+    assert mm.shape == (int(dsk.cfg.max_steps),) + tuple(Y0.shape)
+    assert len(dsk._fwd_fns) <= 2 and len(dsk._bwd_fns) <= 2
+    dsk.close()
+    assert not os.path.exists(dsk._path)

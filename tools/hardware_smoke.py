@@ -413,6 +413,41 @@ def main() -> int:
              f"max grad diff {num:.2e} on scale {den:.2e} "
              f"(chunked dispatches + disk memmap round-trip)")
 
+        # adaptive variant: TSAdapt + disk trajectory, PETSc's default
+        # configuration, chunked over the trial axis
+        pnode_tpu.clear_options()
+        pnode_tpu.init(["smoke", "-ts_adapt_type", "basic",
+                        "-ts_rtol", "1e-3", "-ts_atol", "1e-5",
+                        "-ts_adapt_max_steps", "48",
+                        "-ts_trajectory_dirname", tdir])
+        ode9 = ODESolver()
+        ode9.setupTS(tmpl8[:, :dd], FlaxFunc(ex8, vex8), step_size=0.05,
+                     method="dopri5", enable_adjoint=True)
+        t9 = np.array([0.0, 0.5])
+
+        def loss_mem9(pp):
+            pr, _ = ode9.solve(y8, t9, params=pp, with_adjoint=True)
+            return jnp.mean(pr[-1] ** 2)
+
+        g_mem9 = jax.grad(loss_mem9)(vex8)
+        dsk9 = ode9.disk_trajectory_solver(t9, chunk=16)
+        _, (gy9, g_dsk9) = dsk9.value_and_grad(
+            lambda outs: jnp.mean(outs[-1] ** 2), y8, vex8)
+        dsk9.close()
+        num9 = max(
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(jax.tree_util.tree_leaves(g_dsk9),
+                            jax.tree_util.tree_leaves(g_mem9))
+        )
+        den9 = max(
+            float(jnp.max(jnp.abs(a)))
+            for a in jax.tree_util.tree_leaves(g_mem9)
+        )
+        gate("adaptive disk trajectory adjoint vs in-memory",
+             num9 < 1e-3 * max(den9, 1e-6),
+             f"max grad diff {num9:.2e} on scale {den9:.2e} "
+             f"(trial-axis chunks, controller carry across dispatches)")
+
     print("SMOKE", "FAILED: " + ", ".join(failures) if failures else "OK")
     return 1 if failures else 0
 
