@@ -118,6 +118,72 @@ def _gated_adj(stp, params, t_k, dt_k, y_k, aux_k, acc_k, slot_k, g_out,
     return lax.cond(acc_k, do, lambda a: a, (lam, gp))
 
 
+def trial_step_core(stp, params, cfg, touts, n_out, expo, core):
+    """One adaptive trial step: MATCHSTEP truncation onto the next output,
+    embedded step, WRMS accept test, dt controller, output landing.
+
+    The SINGLE SOURCE of the controller semantics — consumed by
+    make_adaptive_odeint's scan body (every in-memory policy) and by the
+    host-orchestrated disk driver (disk_host.AdaptiveHostDiskTrajectory);
+    their bit-parity holds because both run this function.
+
+    ``core`` = (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv, eprev).
+    Returns ``(new_core, (t, dt_try, accept, out_slot), aux)`` with t/y the
+    PRE-step values in the record and ``aux`` the step's stage set (for
+    policies that capture it).
+    """
+    (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv, eprev) = core
+    tdtype = t.dtype
+    t_end = touts[-1]
+    done = out_i >= n_out
+    target = touts[jnp.minimum(out_i, n_out - 1)]
+    # MATCHSTEP: truncate onto the next requested output
+    dt_try = jnp.minimum(dt, target - t)
+    dt_try = jnp.maximum(dt_try, jnp.asarray(0.0, tdtype))
+
+    y1, err, aux, st = stp.step_embedded(t, dt_try, y, params)
+    enorm = _wrms(err, y, y1, cfg.rtol, cfg.atol)
+    accept = jnp.logical_or(enorm <= 1.0, dt_try <= 1e-14 * t_end)
+    accept = jnp.logical_and(accept, jnp.logical_not(done))
+
+    e_cur = jnp.maximum(enorm, 1e-10)
+    if cfg.controller == "pi":
+        # two-error-history PI controller (Hairer-Wanner II.4)
+        fac = (cfg.safety
+               * jnp.power(e_cur, -cfg.pi_kI * expo)
+               * jnp.power(eprev, cfg.pi_kP * expo))
+    else:
+        # elementary controller (PETSc TSAdapt basic)
+        fac = cfg.safety * jnp.power(e_cur, -expo)
+    fac = jnp.clip(fac, cfg.dt_min_factor, cfg.dt_max_factor)
+    dt_next = jnp.where(done, dt, dt * fac)
+    eprev_new = jnp.where(accept, e_cur, eprev)
+
+    t_new = jnp.where(accept, t + dt_try, t)
+    y_new = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accept, b, a), y, y1
+    )
+    tol = 1e-10 * jnp.maximum(jnp.abs(target), 1.0)
+    landed = jnp.logical_and(accept, t_new >= target - tol)
+    out_slot = jnp.where(landed, out_i, -1)
+    outputs = jnp.where(
+        (jnp.arange(n_out) == out_slot).reshape((-1,) + (1,) * y.ndim),
+        y_new[None],
+        outputs,
+    )
+    out_i = jnp.where(landed, out_i + 1, out_i)
+    n_acc = n_acc + jnp.where(accept, 1, 0)
+    n_rej = n_rej + jnp.where(
+        jnp.logical_and(jnp.logical_not(accept), jnp.logical_not(done)),
+        1, 0,
+    )
+    nit = nit + st.newton_iters
+    conv = jnp.logical_and(conv, st.newton_converged)
+    new_core = (t_new, y_new, dt_next, out_i, outputs, n_acc, n_rej,
+                nit, conv, eprev_new)
+    return new_core, (t, dt_try, accept, out_slot), aux
+
+
 def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
                          dt0: float, with_adjoint: bool = True,
                          traj=None):
@@ -265,11 +331,6 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
             (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv,
              eprev, bufs) = carry
             k = x[0]
-            done = out_i >= n_out
-            target = touts[jnp.minimum(out_i, n_out - 1)]
-            # MATCHSTEP: truncate onto the next requested output
-            dt_try = jnp.minimum(dt, target - t)
-            dt_try = jnp.maximum(dt_try, jnp.asarray(0.0, tdtype))
 
             if kind == "checkpoint":
                 # uniform trial-axis checkpoints: store y at segment starts
@@ -291,10 +352,10 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
                     jax.ShapeDtypeStruct((), jnp.int32), k, y, ordered=True,
                 )
 
-            y1, err, aux, st = stp.step_embedded(t, dt_try, y, params)
-            enorm = _wrms(err, y, y1, cfg.rtol, cfg.atol)
-            accept = jnp.logical_or(enorm <= 1.0, dt_try <= 1e-14 * t_end)
-            accept = jnp.logical_and(accept, jnp.logical_not(done))
+            core = (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv, eprev)
+            new_core, rec, aux = trial_step_core(
+                stp, params, cfg, touts, n_out, expo, core
+            )
 
             if kind == "cams":
                 ss, cs = x[1], x[2]
@@ -319,45 +380,8 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
                 )
                 bufs = (solbuf, sy, saux)
 
-            e_cur = jnp.maximum(enorm, 1e-10)
-            if cfg.controller == "pi":
-                # two-error-history PI controller (Hairer-Wanner II.4)
-                fac = (cfg.safety
-                       * jnp.power(e_cur, -cfg.pi_kI * expo)
-                       * jnp.power(eprev, cfg.pi_kP * expo))
-            else:
-                # elementary controller (PETSc TSAdapt basic)
-                fac = cfg.safety * jnp.power(e_cur, -expo)
-            fac = jnp.clip(fac, cfg.dt_min_factor, cfg.dt_max_factor)
-            dt_next = jnp.where(done, dt, dt * fac)
-            eprev_new = jnp.where(accept, e_cur, eprev)
-
-            t_new = jnp.where(accept, t + dt_try, t)
-            y_new = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(accept, b, a), y, y1
-            )
-            tol = 1e-10 * jnp.maximum(jnp.abs(target), 1.0)
-            landed = jnp.logical_and(accept, t_new >= target - tol)
-            out_slot = jnp.where(landed, out_i, -1)
-            outputs = jnp.where(
-                (jnp.arange(n_out) == out_slot).reshape(
-                    (-1,) + (1,) * y0.ndim
-                ),
-                y_new[None],
-                outputs,
-            )
-            out_i = jnp.where(landed, out_i + 1, out_i)
-            n_acc = n_acc + jnp.where(accept, 1, 0)
-            n_rej = n_rej + jnp.where(
-                jnp.logical_and(jnp.logical_not(accept), jnp.logical_not(done)),
-                1, 0,
-            )
-            nit = nit + st.newton_iters
-            conv = jnp.logical_and(conv, st.newton_converged)
-            new_carry = (t_new, y_new, dt_next, out_i, outputs, n_acc, n_rej,
-                         nit, conv, eprev_new, bufs)
+            new_carry = new_core + (bufs,)
             # scalar record: O(max_steps), not O(max_steps * state)
-            rec = (t, dt_try, accept, out_slot)
             if kind == "store_all":
                 rec = rec + (_compress(y),
                              jax.tree_util.tree_map(_compress, aux))

@@ -23,15 +23,21 @@ one compiled graph.
 
 Device memory is O(chunk * state); the disk holds the O(n_steps * state)
 trajectory. Stages are recomputed inside ``step_adj`` (aux=None) — the
-same solution-only storage PETSc's disk trajectory defaults to.
+same solution-only storage PETSc's disk trajectory defaults to. Both
+kernels prepare the stepper at the SOLVE'S INITIAL STATE y0 (passed into
+every dispatch), so frozen-Jacobian semantics (``fixed_jacobian=True``)
+match the in-memory engines exactly; with a frozen J this re-runs the
+O(d^3) assembly once per dispatch rather than once per solve — part of
+the measured spill overhead (RESULTS.md), acceptable for a policy whose
+cost is I/O-bound by construction.
 
 NOT jittable end-to-end BY DESIGN: ``jax.grad`` cannot trace across host
 I/O, so gradients come from the explicit :meth:`adjoint_solve` /
 :meth:`value_and_grad` — mirroring the reference's usage, where the forward
 runs under ``torch.no_grad`` and the backward is an explicit TSAdjoint loop
 (petsc_adjoint.py:905-947). Exactly two chunk-kernel compilations happen
-regardless of trajectory length (the full-chunk length and, if ragged, the
-remainder length).
+per direction regardless of trajectory length (the full-chunk length and,
+if ragged, the remainder length).
 """
 
 from __future__ import annotations
@@ -60,7 +66,72 @@ def _np_dtype(name: str):
     return np.dtype(name)
 
 
-class HostDiskTrajectory:
+class _HostDiskBase:
+    """Shared plumbing: storage-dtype normalization/compression, chunk
+    geometry over ``self._axis_len``, memmap lifecycle, value_and_grad."""
+
+    def _init_common(self, dirname: str, chunk: int, store_dtype: str,
+                     sel, n_outputs: int, tag: str, dtype=None):
+        self.dirname = dirname
+        self.chunk = max(1, int(chunk))
+        if store_dtype in ("bf16",):
+            store_dtype = "bfloat16"  # the flag accepts either spelling
+        self._store_np = _np_dtype(store_dtype)
+        self._store_jnp = jnp.dtype(store_dtype) if store_dtype else None
+        self.dtype = dtype  # solver state dtype (ODESolver.solve casts too)
+        if sel is None or (isinstance(sel, slice) and sel == slice(None)):
+            self.sel = None
+        else:
+            # normalize slice/array selections to an index array once
+            self.sel = np.arange(n_outputs)[sel]
+        _COUNTER[0] += 1
+        self._path = os.path.join(
+            dirname, f"pnode_hostdisk_{tag}_{os.getpid()}_{_COUNTER[0]}.npy"
+        )
+        self._mm = None
+
+    def _compress(self, x):
+        return x if self._store_jnp is None else x.astype(self._store_jnp)
+
+    def _cast_y0(self, y0):
+        return jnp.asarray(y0, self.dtype) if self.dtype is not None \
+            else jnp.asarray(y0)
+
+    def _chunks(self):
+        n = int(self._axis_len)
+        edges = list(range(0, n, self.chunk)) + [n]
+        return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+
+    def _open_memmap(self, n_rows: int, state_shape, state_dtype):
+        os.makedirs(self.dirname, exist_ok=True)
+        store_dt = self._store_np or np.dtype(np.asarray(
+            jax.device_get(jnp.zeros((), state_dtype))).dtype)
+        self._mm = np.lib.format.open_memmap(
+            self._path, mode="w+", dtype=store_dt,
+            shape=(n_rows,) + tuple(state_shape),
+        )
+        return self._mm
+
+    def value_and_grad(self, loss_fn: Callable, y0, params):
+        """loss_fn(outputs) -> scalar; returns (loss, (grad_y0, grad_params)).
+
+        The loss and its output-cotangents are computed on device (outputs
+        are n_out states — small); the trajectory stays on disk.
+        """
+        outputs, _ = self.solve(y0, params)
+        loss, g_out = jax.value_and_grad(loss_fn)(outputs)
+        grad_y0, grad_p = self.adjoint_solve(g_out, params)
+        return loss, (grad_y0, grad_p)
+
+    def close(self):
+        if self._mm is not None:
+            del self._mm
+            self._mm = None
+        if os.path.exists(self._path):
+            os.remove(self._path)
+
+
+class HostDiskTrajectory(_HostDiskBase):
     """Disk-backed trajectory + explicit adjoint for one (stepper, grid).
 
     Parameters
@@ -74,28 +145,17 @@ class HostDiskTrajectory:
         states are re-expanded before the stage transposes
     sel : optional index array or slice subsetting the grid's outputs
         (the solver's ``_prep_times`` selection)
+    dtype : solver state dtype (inputs are cast, matching ODESolver.solve)
     """
 
     def __init__(self, stepper, grid, dirname: str = "./ts_trajectory",
-                 chunk: int = 64, store_dtype: str = "", sel=None):
+                 chunk: int = 64, store_dtype: str = "", sel=None,
+                 dtype=None):
         self.stepper = stepper
         self.grid = grid
-        self.dirname = dirname
-        self.chunk = max(1, int(chunk))
-        if store_dtype in ("bf16",):
-            store_dtype = "bfloat16"  # the flag accepts either spelling
-        self._store_np = _np_dtype(store_dtype)
-        self._store_jnp = jnp.dtype(store_dtype) if store_dtype else None
-        if sel is None or (isinstance(sel, slice) and sel == slice(None)):
-            self.sel = None
-        else:
-            # normalize slice/array selections to an index array once
-            self.sel = np.arange(len(np.asarray(grid.out_idx)))[sel]
-        _COUNTER[0] += 1
-        self._path = os.path.join(
-            dirname, f"pnode_hostdisk_{os.getpid()}_{_COUNTER[0]}.npy"
-        )
-        self._mm = None
+        self._axis_len = int(grid.n_steps)
+        self._init_common(dirname, chunk, store_dtype, sel,
+                          len(np.asarray(grid.out_idx)), "grid", dtype)
         self._y_final = None
         self._fwd_fns = {}
         self._bwd_fns = {}
@@ -106,11 +166,6 @@ class HostDiskTrajectory:
         )
         self._dt0 = float(grid.dts[0]) if uniform else None
 
-    # -- compression -------------------------------------------------------
-
-    def _compress(self, x):
-        return x if self._store_jnp is None else x.astype(self._store_jnp)
-
     # -- jitted chunk kernels (cached by chunk length: at most 2 compiles) --
 
     def _fwd_fn(self, L: int):
@@ -120,8 +175,10 @@ class HostDiskTrajectory:
         stepper, t0, dt0 = self.stepper, self._t0, self._dt0
 
         @jax.jit
-        def run(y, ts_c, dts_c, params):
-            stp = stepper.prepare(t0, y, params, dt0=dt0)
+        def run(y, y0, ts_c, dts_c, params):
+            # prepare at the SOLVE's initial state — frozen-Jacobian parity
+            # with the in-memory engine (adjoint.py _prepare)
+            stp = stepper.prepare(t0, y0, params, dt0=dt0)
 
             def body(yy, x):
                 t, dt = x
@@ -142,8 +199,8 @@ class HostDiskTrajectory:
         stepper, t0, dt0 = self.stepper, self._t0, self._dt0
 
         @jax.jit
-        def run(lam, gp, y_hist, ts_c, dts_c, force_c, params):
-            stp = stepper.prepare(t0, lam, params, dt0=dt0)
+        def run(lam, gp, y0, y_hist, ts_c, dts_c, force_c, params):
+            stp = stepper.prepare(t0, y0, params, dt0=dt0)
 
             def body(carry, x):
                 lam_i, gp_i = carry
@@ -164,13 +221,6 @@ class HostDiskTrajectory:
         self._bwd_fns[L] = run
         return run
 
-    # -- chunk geometry ------------------------------------------------------
-
-    def _chunks(self):
-        n = int(self.grid.n_steps)
-        edges = list(range(0, n, self.chunk)) + [n]
-        return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
-
     # -- forward -------------------------------------------------------------
 
     def solve(self, y0, params) -> Tuple[jnp.ndarray, SolveStats]:
@@ -182,21 +232,15 @@ class HostDiskTrajectory:
         """
         grid = self.grid
         n = int(grid.n_steps)
-        y0 = jnp.asarray(y0)
+        y0 = self._cast_y0(y0)
+        self._y0 = y0
         out_idx = np.asarray(grid.out_idx)
         if n == 0:
             outputs = jnp.stack([y0 for _ in out_idx])
             stats = SolveStats(jnp.zeros((), jnp.int32), jnp.asarray(True))
             return (outputs if self.sel is None else outputs[self.sel]), stats
 
-        os.makedirs(self.dirname, exist_ok=True)
-        store_dt = self._store_np or np.dtype(np.asarray(
-            jax.device_get(jnp.zeros((), y0.dtype))).dtype)
-        mm = np.lib.format.open_memmap(
-            self._path, mode="w+", dtype=store_dt,
-            shape=(n + 1,) + tuple(y0.shape),
-        )
-        self._mm = mm
+        mm = self._open_memmap(n + 1, y0.shape, y0.dtype)
 
         ts_np = np.asarray(grid.ts)
         dts_np = np.asarray(grid.dts)
@@ -206,7 +250,7 @@ class HostDiskTrajectory:
         for a, b in self._chunks():
             run = self._fwd_fn(b - a)
             y, hist, it_c, cv_c = run(
-                y, jnp.asarray(ts_np[a:b], y0.dtype),
+                y, y0, jnp.asarray(ts_np[a:b], y0.dtype),
                 jnp.asarray(dts_np[a:b], y0.dtype), params,
             )
             # device->host fetch: the only sync primitive the tunneled
@@ -241,8 +285,6 @@ class HostDiskTrajectory:
         Returns ``(grad_y0, grad_params)`` — identical to what
         ``jax.grad`` of the in-memory path produces for the same loss.
         """
-        if self._mm is None:
-            raise RuntimeError("run solve() before adjoint_solve()")
         grid = self.grid
         n = int(grid.n_steps)
         out_idx = np.asarray(grid.out_idx)
@@ -256,7 +298,10 @@ class HostDiskTrajectory:
             g_np = g_full
 
         state_shape = tuple(g_np.shape[1:])
-        dtype = self._y_final.dtype if self._y_final is not None else jnp.float32
+        if self._y_final is not None:
+            dtype = self._y_final.dtype
+        else:
+            dtype = self.dtype or jnp.stack(list(g_outputs)).dtype
 
         def node_force(k):
             f = np.zeros(state_shape, np.float64)
@@ -269,6 +314,8 @@ class HostDiskTrajectory:
         gp = tree_zeros_like(params)
         if n == 0:
             return lam, gp
+        if self._mm is None:
+            raise RuntimeError("run solve() before adjoint_solve()")
 
         ts_np = np.asarray(grid.ts)
         dts_np = np.asarray(grid.dts)
@@ -281,7 +328,7 @@ class HostDiskTrajectory:
                 if k in hit_nodes:
                     force_c[k - a] = node_force(k)
             lam, gp = run(
-                lam, gp,
+                lam, gp, self._y0,
                 jnp.asarray(mm[a:b]),  # host->device re-upload of the chunk
                 jnp.asarray(ts_np[a:b], dtype),
                 jnp.asarray(dts_np[a:b], dtype),
@@ -290,28 +337,8 @@ class HostDiskTrajectory:
             )
         return lam, gp
 
-    # -- convenience -------------------------------------------------------
 
-    def value_and_grad(self, loss_fn: Callable, y0, params):
-        """loss_fn(outputs) -> scalar; returns (loss, (grad_y0, grad_params)).
-
-        The loss and its output-cotangents are computed on device (outputs
-        are n_out states — small); the trajectory stays on disk.
-        """
-        outputs, _ = self.solve(y0, params)
-        loss, g_out = jax.value_and_grad(loss_fn)(outputs)
-        grad_y0, grad_p = self.adjoint_solve(g_out, params)
-        return loss, (grad_y0, grad_p)
-
-    def close(self):
-        if self._mm is not None:
-            del self._mm
-            self._mm = None
-        if os.path.exists(self._path):
-            os.remove(self._path)
-
-
-class AdaptiveHostDiskTrajectory:
+class AdaptiveHostDiskTrajectory(_HostDiskBase):
     """Host-orchestrated disk trajectory for the ADAPTIVE path
     (``-ts_adapt_type basic`` + ``-ts_trajectory_type disk`` on backends
     without host callbacks) — PETSc's default configuration: TSAdapt with
@@ -323,55 +350,39 @@ class AdaptiveHostDiskTrajectory:
     carrying the controller state (t, dt, output cursor, error history)
     across dispatches, and fetches each chunk's per-trial-step states into
     the disk memmap; the backward re-uploads chunks in reverse and sweeps
-    them with the acc-gated stage transposes (``adaptive._gated_adj`` —
-    the exact engine the in-memory policies use).
+    them with the acc-gated stage transposes. Both directions run the
+    SHARED engine functions (``adaptive.trial_step_core`` forward,
+    ``adaptive._gated_adj`` reverse), so parity with the in-memory
+    adaptive engine is structural, not coincidental — and asserted
+    bit-exact in tests/test_disk_host.py.
 
-    The controller body REPLICATES adaptive.make_adaptive_odeint's
-    trial-step body (the plain-record branch); the tether against drift is
-    tests/test_disk_host.py::test_adaptive_disk_host_bit_parity, which
-    asserts outputs, stats, AND gradients are identical to the in-memory
-    solution_only engine.
+    Host orchestration also buys what the traced engine cannot do: the
+    forward STOPS dispatching once all outputs have landed (the in-memory
+    bounded scan must mask through all max_steps trials), and the adjoint
+    skips chunks containing no accepted trial (exact identities).
     """
 
     def __init__(self, stepper, t_out, cfg, dt0: float,
                  dirname: str = "./ts_trajectory", chunk: int = 64,
-                 store_dtype: str = "", sel=None):
-        from .adaptive import AdaptConfig  # noqa: F401 (type anchor)
-
+                 store_dtype: str = "", sel=None, dtype=None):
         self.stepper = stepper
         self.t_out = np.asarray(t_out, np.float64)
         self.cfg = cfg
         self.dt0 = float(dt0)
-        self.dirname = dirname
-        self.chunk = max(1, int(chunk))
-        if store_dtype in ("bf16",):
-            store_dtype = "bfloat16"
-        self._store_np = _np_dtype(store_dtype)
-        self._store_jnp = jnp.dtype(store_dtype) if store_dtype else None
-        n_out = len(self.t_out)
-        if sel is None or (isinstance(sel, slice) and sel == slice(None)):
-            self.sel = None
-        else:
-            self.sel = np.arange(n_out)[sel]
-        _COUNTER[0] += 1
-        self._path = os.path.join(
-            dirname, f"pnode_hostdisk_adapt_{os.getpid()}_{_COUNTER[0]}.npy"
-        )
-        self._mm = None
+        self._axis_len = int(cfg.max_steps)
+        self._init_common(dirname, chunk, store_dtype, sel,
+                          len(self.t_out), "adapt", dtype)
         self._scalars = None
         self._fwd_fns = {}
         self._bwd_fns = {}
 
-    def _compress(self, x):
-        return x if self._store_jnp is None else x.astype(self._store_jnp)
-
-    def _prepared(self, y, params):
+    def _prepared(self, y0, params):
         prep = getattr(self.stepper, "prepare", None)
         if prep is None:
             return self.stepper
-        tdt = jnp.promote_types(y.dtype, jnp.float32)
+        tdt = jnp.promote_types(y0.dtype, jnp.float32)
         # dt0=None: dt varies under the controller (adaptive._prepared)
-        return prep(jnp.asarray(self.t_out[0], tdt), y, params, dt0=None)
+        return prep(jnp.asarray(self.t_out[0], tdt), y0, params, dt0=None)
 
     # -- jitted chunk kernels (cached by length: at most 2 compiles each) ---
 
@@ -385,68 +396,17 @@ class AdaptiveHostDiskTrajectory:
         expo = 1.0 / (cfg.order + 1)
 
         @jax.jit
-        def run(carry, params):
-            (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv, eprev) = carry
-            stp = self._prepared(y, params)
-            tdtype = t.dtype
-            touts = jnp.asarray(t_out, tdtype)
-            t_end = touts[-1]
+        def run(carry, y0, params):
+            from .adaptive import trial_step_core
+
+            stp = self._prepared(y0, params)
+            touts = jnp.asarray(t_out, carry[0].dtype)
 
             def body(c, _):
-                # MIRRORS adaptive.make_adaptive_odeint's trial body (plain
-                # branch) — keep in lockstep; the bit-parity test enforces it
-                (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv,
-                 eprev) = c
-                done = out_i >= n_out
-                target = touts[jnp.minimum(out_i, n_out - 1)]
-                dt_try = jnp.minimum(dt, target - t)
-                dt_try = jnp.maximum(dt_try, jnp.asarray(0.0, tdtype))
-
-                y1, err, aux, st = stp.step_embedded(t, dt_try, y, params)
-                from .adaptive import _wrms
-
-                enorm = _wrms(err, y, y1, cfg.rtol, cfg.atol)
-                accept = jnp.logical_or(enorm <= 1.0,
-                                        dt_try <= 1e-14 * t_end)
-                accept = jnp.logical_and(accept, jnp.logical_not(done))
-
-                e_cur = jnp.maximum(enorm, 1e-10)
-                if cfg.controller == "pi":
-                    fac = (cfg.safety
-                           * jnp.power(e_cur, -cfg.pi_kI * expo)
-                           * jnp.power(eprev, cfg.pi_kP * expo))
-                else:
-                    fac = cfg.safety * jnp.power(e_cur, -expo)
-                fac = jnp.clip(fac, cfg.dt_min_factor, cfg.dt_max_factor)
-                dt_next = jnp.where(done, dt, dt * fac)
-                eprev_new = jnp.where(accept, e_cur, eprev)
-
-                t_new = jnp.where(accept, t + dt_try, t)
-                y_new = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(accept, b, a), y, y1
+                new_c, rec, _aux = trial_step_core(
+                    stp, params, cfg, touts, n_out, expo, c
                 )
-                tol = 1e-10 * jnp.maximum(jnp.abs(target), 1.0)
-                landed = jnp.logical_and(accept, t_new >= target - tol)
-                out_slot = jnp.where(landed, out_i, -1)
-                outputs = jnp.where(
-                    (jnp.arange(n_out) == out_slot).reshape(
-                        (-1,) + (1,) * y.ndim
-                    ),
-                    y_new[None],
-                    outputs,
-                )
-                out_i = jnp.where(landed, out_i + 1, out_i)
-                n_acc2 = n_acc + jnp.where(accept, 1, 0)
-                n_rej2 = n_rej + jnp.where(
-                    jnp.logical_and(jnp.logical_not(accept),
-                                    jnp.logical_not(done)), 1, 0,
-                )
-                nit2 = nit + st.newton_iters
-                conv2 = jnp.logical_and(conv, st.newton_converged)
-                new_c = (t_new, y_new, dt_next, out_i, outputs, n_acc2,
-                         n_rej2, nit2, conv2, eprev_new)
-                rec = (t, dt_try, accept, out_slot, self._compress(y))
-                return new_c, rec
+                return new_c, rec + (self._compress(c[1]),)
 
             carry2, recs = lax.scan(body, carry, None, length=L)
             return carry2, recs
@@ -460,10 +420,11 @@ class AdaptiveHostDiskTrajectory:
             return fn
 
         @jax.jit
-        def run(lam, gp, y_hist, t_r, dt_r, acc_r, slot_r, g_out, params):
+        def run(lam, gp, y0, y_hist, t_r, dt_r, acc_r, slot_r, g_out,
+                params):
             from .adaptive import _gated_adj
 
-            stp = self._prepared(lam, params)
+            stp = self._prepared(y0, params)
 
             def body(carry, x):
                 lam_i, gp_i = carry
@@ -484,29 +445,18 @@ class AdaptiveHostDiskTrajectory:
         self._bwd_fns[L] = run
         return run
 
-    def _chunks(self):
-        n = int(self.cfg.max_steps)
-        edges = list(range(0, n, self.chunk)) + [n]
-        return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
-
     # -- forward -----------------------------------------------------------
 
     def solve(self, y0, params):
         from .adaptive import AdaptiveStats
 
-        y0 = jnp.asarray(y0)
+        y0 = self._cast_y0(y0)
+        self._y0 = y0
         n_out = len(self.t_out)
         max_steps = int(self.cfg.max_steps)
         tdtype = jnp.promote_types(y0.dtype, jnp.float32)
 
-        os.makedirs(self.dirname, exist_ok=True)
-        store_dt = self._store_np or np.dtype(np.asarray(
-            jax.device_get(jnp.zeros((), y0.dtype))).dtype)
-        mm = np.lib.format.open_memmap(
-            self._path, mode="w+", dtype=store_dt,
-            shape=(max_steps,) + tuple(y0.shape),
-        )
-        self._mm = mm
+        mm = self._open_memmap(max_steps, y0.shape, y0.dtype)
         t_sc = np.zeros((max_steps,), np.float64)
         dt_sc = np.zeros((max_steps,), np.float64)
         acc_sc = np.zeros((max_steps,), bool)
@@ -522,7 +472,7 @@ class AdaptiveHostDiskTrajectory:
         )
         for a, b in self._chunks():
             run = self._fwd_fn(b - a)
-            carry, recs = run(carry, params)
+            carry, recs = run(carry, y0, params)
             t_r, dt_r, acc_r, slot_r, y_r = recs
             # device->host fetch: states to disk, scalar record to RAM
             mm[a:b] = np.asarray(jax.device_get(y_r))
@@ -530,6 +480,11 @@ class AdaptiveHostDiskTrajectory:
             dt_sc[a:b] = np.asarray(jax.device_get(dt_r), np.float64)
             acc_sc[a:b] = np.asarray(jax.device_get(acc_r))
             slot_sc[a:b] = np.asarray(jax.device_get(slot_r))
+            # eager early exit: all outputs landed -> later trials are
+            # masked no-ops in the traced engine; here we simply stop
+            # (remaining records stay acc=False / slot=-1 = identities)
+            if int(carry[3]) >= n_out:
+                break
         mm.flush()
         self._scalars = (t_sc, dt_sc, acc_sc, slot_sc)
         self._tdtype = tdtype
@@ -559,9 +514,11 @@ class AdaptiveHostDiskTrajectory:
         t_sc, dt_sc, acc_sc, slot_sc = self._scalars
         mm = self._mm
         for a, b in reversed(self._chunks()):
+            if not acc_sc[a:b].any():
+                continue  # no accepted trials: exact identity for (lam, gp)
             run = self._bwd_fn(b - a)
             lam, gp = run(
-                lam, gp,
+                lam, gp, self._y0,
                 jnp.asarray(mm[a:b]),
                 jnp.asarray(t_sc[a:b], self._tdtype),
                 jnp.asarray(dt_sc[a:b], self._tdtype),
@@ -572,16 +529,3 @@ class AdaptiveHostDiskTrajectory:
         # t_out[0] output is y0 itself (adaptive.solve_bwd tail)
         lam = lam + g[0]
         return lam, gp
-
-    def value_and_grad(self, loss_fn: Callable, y0, params):
-        outputs, _ = self.solve(y0, params)
-        loss, g_out = jax.value_and_grad(loss_fn)(outputs)
-        grad_y0, grad_p = self.adjoint_solve(g_out, params)
-        return loss, (grad_y0, grad_p)
-
-    def close(self):
-        if self._mm is not None:
-            del self._mm
-            self._mm = None
-        if os.path.exists(self._path):
-            os.remove(self._path)

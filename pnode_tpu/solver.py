@@ -461,13 +461,14 @@ class ODESolver:
             return AdaptiveHostDiskTrajectory(
                 self._stepper, t_full, cfg, dt0, dirname=dirname,
                 chunk=chunk, store_dtype=self.traj.store_dtype, sel=sel,
+                dtype=self.dtype,
             )
         grid = build_time_grid(
             t_full, self.step_size, dtype=self.dtype, max_steps=self.max_steps
         )
         return HostDiskTrajectory(
             self._stepper, grid, dirname=dirname, chunk=chunk,
-            store_dtype=self.traj.store_dtype, sel=sel,
+            store_dtype=self.traj.store_dtype, sel=sel, dtype=self.dtype,
         )
 
     # -- reference-parity entry points ----------------------------------

@@ -128,6 +128,89 @@ def test_disk_host_stiff_newton_and_single_output(tmp_path):
     dsk.close()
 
 
+def test_disk_host_fixed_jacobian_nonlinear_linearization_point(tmp_path):
+    """REGRESSION (round-3 review): with fixed_jacobian=True the frozen
+    Jacobian must be assembled at the SOLVE's initial state y0 — the first
+    cut prepared the forward kernels at each chunk's carry state and the
+    backward kernels at the adjoint cotangent lam, which for nonlinear
+    dynamics produces different outputs per chunk boundary and garbage
+    reverse operators."""
+    t = jnp.linspace(0.0, 0.6, 4)
+
+    def build(tmp=None):
+        pnode_tpu.clear_options()
+        flags = ["p"]
+        if tmp is not None:
+            flags += ["-ts_trajectory_dirname", str(tmp)]
+        pnode_tpu.init(flags)
+        ode = ODESolver()
+        ode.setupTS(Y0, (f_stiff, P), step_size=0.02, method="cn",
+                    implicit_form=True, enable_adjoint=True,
+                    fixed_jacobian=True, linear_solver="torch")
+        return ode
+
+    ode = build()
+    sol_ref, _ = ode.solve(Y0, t, params=P, with_adjoint=True)
+
+    def loss_mem(p, y0):
+        sol, _ = ode.solve(y0, t, params=p, with_adjoint=True)
+        return _loss(sol)
+
+    l_ref, (gp_ref, gy_ref) = jax.value_and_grad(
+        loss_mem, argnums=(0, 1))(P, Y0)
+
+    ode2 = build(tmp_path)
+    dsk = ode2.disk_trajectory_solver(t, chunk=7)  # chunk boundaries interior
+    sol, _ = dsk.solve(Y0, P)
+    # outputs bit-match: same frozen-J (at y0) in every chunk
+    np.testing.assert_array_equal(np.asarray(sol), np.asarray(sol_ref))
+    l_dsk, (gy, gp) = dsk.value_and_grad(_loss, Y0, P)
+    np.testing.assert_allclose(float(l_dsk), float(l_ref), rtol=1e-12)
+    np.testing.assert_allclose(gy, gy_ref, rtol=1e-10, atol=1e-13)
+    for k in gp_ref:
+        np.testing.assert_allclose(gp[k], gp_ref[k], rtol=1e-10, atol=1e-13)
+    dsk.close()
+
+
+def test_disk_host_dtype_cast_matches_solver(tmp_path):
+    """The engine casts y0 to the solver's configured dtype exactly like
+    ODESolver.solve (review finding: an f64 y0 under x64 silently compiled
+    f64 kernels and doubled the disk/tunnel traffic)."""
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["p", "-ts_trajectory_dirname", str(tmp_path)])
+    ode = ODESolver()
+    ode.setupTS(Y0.astype(jnp.float32), (f_lin, P), step_size=0.05,
+                method="rk4", enable_adjoint=True)
+    dsk = ode.disk_trajectory_solver(jnp.linspace(0.0, 0.5, 2), chunk=4)
+    pf = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), P)
+    sol, _ = dsk.solve(np.asarray(Y0, np.float64), pf)  # f64 input
+    assert sol.dtype == jnp.float32
+    assert dsk._mm.dtype == np.float32
+    dsk.close()
+
+
+def test_disk_host_zero_steps_value_and_grad():
+    """Degenerate 0-step grid (unreachable via the public API, which
+    rejects non-increasing t — constructed directly like the in-memory
+    engine's own n_steps==0 branch): value_and_grad must not crash;
+    grad_y0 is the sum of the output cotangents (all outputs = y0)."""
+    from pnode_tpu.disk_host import HostDiskTrajectory
+    from pnode_tpu.grid import TimeGrid
+
+    pnode_tpu.clear_options()
+    pnode_tpu.init(["p"])
+    ode = ODESolver()
+    ode.setupTS(Y0, (f_lin, P), step_size=0.05, method="rk4",
+                enable_adjoint=True)
+    grid = TimeGrid(ts=np.zeros((0,)), dts=np.zeros((0,)),
+                    out_idx=np.asarray([0, 0]), n_steps=0)
+    dsk = HostDiskTrajectory(ode._stepper, grid)
+    loss, (gy, gp) = dsk.value_and_grad(lambda o: jnp.sum(o ** 2), Y0, P)
+    np.testing.assert_allclose(gy, 2.0 * 2.0 * np.asarray(Y0), rtol=1e-12)
+    for k in gp:
+        np.testing.assert_allclose(gp[k], 0.0, atol=1e-15)
+
+
 def test_disk_host_bf16_compression(tmp_path):
     """-pnode_trajectory_dtype bf16 stores the memmap compressed; gradients
     stay close to full precision (same bar as the in-memory bf16 store)."""
