@@ -241,8 +241,14 @@ def bench_sinode(args, nx, batch, dt, metric):
                 return med * inner, best * inner, info
         print("fused train loop not applicable; scan path", file=sys.stderr)
     # flat-vector Adam: the unflattened update is ~100 tiny per-leaf ops
-    # whose dispatch latency rivaled the solve itself on the tunneled chip
-    opt = optax.flatten(optax.adam(5e-3))
+    # whose dispatch latency rivaled the solve itself on the tunneled chip.
+    # --adam_moments bf16 stores m/v in bf16 (fp32 math): the profile shows
+    # the Burgers-512 step is parameter-HBM-bound with the optimizer
+    # traffic alone ~51 us/step (tools/profile_sinode.py), so halving the
+    # moment stream is a direct win on that roofline.
+    from pnode_tpu.utils import flat_adam
+
+    opt = optax.flatten(flat_adam(5e-3, moment_dtype=args.adam_moments))
 
     def loss_fn(p, y0, target):
         if state_dtype != jnp.float32:
@@ -425,6 +431,10 @@ def main():
                     choices=["f32", "bf16"],
                     help="sinode workloads: ODE state + explicit-MLP "
                          "stream dtype (master params/Adam stay f32)")
+    ap.add_argument("--adam_moments", type=str, default="f32",
+                    choices=["f32", "bf16"],
+                    help="sinode scan path: Adam moment storage dtype "
+                         "(utils.flat_adam; update math stays fp32)")
     ap.add_argument("--cifar_nt", type=int, default=2)
     ap.add_argument("--cifar_method", type=str, default="rk4")
     ap.add_argument("--cifar_dtype", type=str, default="f32",
@@ -448,6 +458,8 @@ def main():
         metric = "ks_sinode_train_steps_per_sec_b256_nx64_imex"
         if args.dtype != "f32":
             metric += f"_{args.dtype}"
+        if args.adam_moments != "f32":
+            metric += "_mbf16"
         value = best  # comparable with rounds 1+ (best-of-window convention)
         rate_for_roofline = best
         unit = "steps/s"
@@ -459,6 +471,8 @@ def main():
         metric = "burgers_sinode_train_steps_per_sec_b200_nx512_imex"
         if args.dtype != "f32":
             metric += f"_{args.dtype}"
+        if args.adam_moments != "f32":
+            metric += "_mbf16"
         value = med
         rate_for_roofline = med
         unit = "steps/s"

@@ -5,6 +5,7 @@ from .metrics import MetricsWriter
 from .debug import SolverDivergedError, assert_converged, dump_state, nan_guard
 from .profiling import annotate, device_memory_gb, trace
 from .checkpoint import load_checkpoint, save_checkpoint
+from .optim import adam as flat_adam
 
 __all__ = [
     "RunningAverageMeter",
@@ -22,4 +23,5 @@ __all__ = [
     "trace",
     "save_checkpoint",
     "load_checkpoint",
+    "flat_adam",
 ]
