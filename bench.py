@@ -240,15 +240,17 @@ def bench_sinode(args, nx, batch, dt, metric):
                 }
                 return med * inner, best * inner, info
         print("fused train loop not applicable; scan path", file=sys.stderr)
-    # flat-vector Adam: the unflattened update is ~100 tiny per-leaf ops
-    # whose dispatch latency rivaled the solve itself on the tunneled chip.
-    # --adam_moments bf16 stores m/v in bf16 (fp32 math): the profile shows
-    # the Burgers-512 step is parameter-HBM-bound with the optimizer
-    # traffic alone ~51 us/step (tools/profile_sinode.py), so halving the
-    # moment stream is a direct win on that roofline.
+    # TREE-mode Adam, deliberately NOT optax.flatten-wrapped: inside the
+    # compiled inner scan there is no per-leaf dispatch, and the flatten
+    # concat/split machinery forces full materialization of the flat
+    # g/m/v vectors — measured 55.2 vs 20.0 us/step for the update alone
+    # and 138.6 vs 95.6 us/step for the whole Burgers-512 training step
+    # (tools/profile_sinode.py --probes opt/solve, on-chip). The old
+    # "~100 tiny per-leaf ops of dispatch" lesson was an EAGER-path
+    # artifact and does not apply under the scan.
     from pnode_tpu.utils import flat_adam
 
-    opt = optax.flatten(flat_adam(5e-3, moment_dtype=args.adam_moments))
+    opt = flat_adam(5e-3, moment_dtype=args.adam_moments)
 
     def loss_fn(p, y0, target):
         if state_dtype != jnp.float32:

@@ -56,7 +56,11 @@ def main():
     ap.add_argument("--inner", type=int, default=400)
     ap.add_argument("--windows", type=int, default=3)
     ap.add_argument("--dispatches", type=int, default=10)
+    ap.add_argument("--probes", type=str, default="all",
+                    help="comma list: solve,opt,micro (default all)")
     args, unknown = ap.parse_known_args()
+    probes = set(("solve,opt,micro" if args.probes == "all"
+                  else args.probes).split(","))
 
     import jax
     import jax.numpy as jnp
@@ -114,19 +118,28 @@ def main():
     results = {}
 
     # ---- fwd ----
+    # the carry must PERTURB THE SOLVE'S INPUT or XLA hoists the whole
+    # loop-invariant ODE solve out of the scan and the probe measures one
+    # subtract+mean (the first cut of this probe did exactly that and
+    # read 6.8 us for a ~40 us forward)
     def fwd_steps(p, y0, target):
         def body(carry, _):
-            return carry, loss_fn(p, y0, carry)
-        _, losses = lax.scan(body, target, None, length=inner)
+            # 1e-30*carry is numerically invisible next to O(1) states but
+            # defeats constant-folding (0.0*carry would invite x*0 -> 0)
+            loss = loss_fn(p, y0 + 1e-30 * carry, target)
+            return loss, loss
+        _, losses = lax.scan(
+            body, jnp.zeros((), jnp.float32), None, length=inner)
         return losses[-1]
 
-    cf = jax.jit(fwd_steps).lower(params, y0, target).compile()
+    if "solve" in probes:
+        cf = jax.jit(fwd_steps).lower(params, y0, target).compile()
 
-    def stepf():
-        return cf(params, y0, target)
+        def stepf():
+            return cf(params, y0, target)
 
-    _sync(stepf())
-    results["fwd"] = _time(stepf, args.dispatches, args.windows, inner)
+        _sync(stepf())
+        results["fwd"] = _time(stepf, args.dispatches, args.windows, inner)
 
     # ---- grad ----
     def grad_steps(p, y0, target):
@@ -138,115 +151,170 @@ def main():
         p, losses = lax.scan(body, p, None, length=inner)
         return losses[-1]
 
-    cg = jax.jit(grad_steps).lower(params, y0, target).compile()
+    if "solve" in probes:
+        cg = jax.jit(grad_steps).lower(params, y0, target).compile()
 
-    def stepg():
-        return cg(params, y0, target)
+        def stepg():
+            return cg(params, y0, target)
 
-    _sync(stepg())
-    results["grad"] = _time(stepg, args.dispatches, args.windows, inner)
+        _sync(stepg())
+        results["grad"] = _time(stepg, args.dispatches, args.windows, inner)
 
-    # ---- train (bench.py protocol) ----
-    opt = optax.flatten(optax.adam(5e-3))
-    opt_state = opt.init(params)
+    # ---- train (bench.py protocol; also a tree-mode-Adam variant) ----
+    def train_probe(opt, label):
+        opt_state = opt.init(params)
 
-    def train_steps(p, s, y0, target):
-        def body(carry, _):
-            p, s = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p, y0, target)
-            updates, s = opt.update(grads, s)
-            return (optax.apply_updates(p, updates), s), loss
-        (p, s), losses = lax.scan(body, (p, s), None, length=inner)
-        return p, s, losses[-1]
+        def train_steps(p, s, y0, target):
+            def body(carry, _):
+                p, s = carry
+                loss, grads = jax.value_and_grad(loss_fn)(p, y0, target)
+                updates, s = opt.update(grads, s)
+                return (optax.apply_updates(p, updates), s), loss
+            (p, s), losses = lax.scan(body, (p, s), None, length=inner)
+            return p, s, losses[-1]
 
-    ct = jax.jit(train_steps).lower(params, opt_state, y0, target).compile()
-    st = {"p": params, "s": opt_state}
+        ct = jax.jit(train_steps).lower(
+            params, opt_state, y0, target).compile()
+        st = {"p": params, "s": opt_state}
 
-    def stept():
-        st["p"], st["s"], loss = ct(st["p"], st["s"], y0, target)
-        return loss
+        def stept():
+            st["p"], st["s"], loss = ct(st["p"], st["s"], y0, target)
+            return loss
 
-    _sync(stept())
-    results["train"] = _time(stept, args.dispatches, args.windows, inner)
+        _sync(stept())
+        results[label] = _time(stept, args.dispatches, args.windows, inner)
+
+    from pnode_tpu.utils import flat_adam
+
+    if "solve" in probes:
+        train_probe(optax.flatten(optax.adam(5e-3)), "train")
+        train_probe(flat_adam(5e-3), "train_tree_adam")
+
+    # ---- optimizer-isolation probes (fixed gradient, no solve) ----
+    g_fix = jax.tree_util.tree_map(
+        lambda a: jnp.full_like(a, 1e-4), params)
+
+    def opt_probe(opt):
+        s0 = opt.init(params)
+
+        def steps(p, s):
+            def body(carry, _):
+                p, s = carry
+                u, s = opt.update(g_fix, s, p)
+                return (optax.apply_updates(p, u), s), ()
+            (p, s), _ = lax.scan(body, (p, s), None, length=inner)
+            return p, s
+
+        c = jax.jit(steps).lower(params, s0).compile()
+        st = {"v": (params, s0)}
+
+        def stepo():
+            st["v"] = c(*st["v"])
+            return st["v"][0]
+
+        out = stepo()
+        _sync(jax.tree_util.tree_leaves(out)[0])
+        rates = []
+        for _ in range(args.windows):
+            t0 = time.time()
+            for _ in range(args.dispatches):
+                out = stepo()
+            _sync(jax.tree_util.tree_leaves(out)[0])
+            rates.append(args.dispatches / (time.time() - t0))
+        rates.sort()
+        return 1e6 / (rates[len(rates) // 2] * inner)
+
+    if "opt" in probes:
+        results["adam_f32_alone"] = opt_probe(
+            optax.flatten(flat_adam(5e-3, moment_dtype="f32")))
+        results["adam_bf16_alone"] = opt_probe(
+            optax.flatten(flat_adam(5e-3, moment_dtype="bf16")))
+        results["adam_tree_alone"] = opt_probe(
+            flat_adam(5e-3, moment_dtype="f32"))
+        results["adam_optax_tree"] = opt_probe(optax.adam(5e-3))
+        results["sgd_alone"] = opt_probe(optax.sgd(5e-3))
 
     # ---- microprobes ----
-    # MLP evals per training step: s_exp stage evals fwd + ~2x bwd
     stp = ode._stepper
     s = stp.tab.stages
-    n_mlp = 3 * s  # fwd evals + backprop ~2x
-    Ws = [jax.random.normal(jax.random.PRNGKey(i), (a, b), jnp.float32) * 0.05
-          for i, (a, b) in enumerate(zip([nx] + dims[:-1], dims))]
+    if "micro" in probes:
+        # MLP evals per training step: s_exp stage evals fwd + ~2x bwd
+        n_mlp = 3 * s  # fwd evals + backprop ~2x
+        Ws = [jax.random.normal(
+                  jax.random.PRNGKey(i), (a, b), jnp.float32) * 0.05
+              for i, (a, b) in enumerate(zip([nx] + dims[:-1], dims))]
 
-    def mlp_chain(y):
-        def body(carry, _):
-            h = carry
-            for W in Ws:
-                h = jnp.maximum(h @ W, 0.0)
-            # fold back to state width to keep the carry shape
-            return h[:, :nx] + carry[:, :nx] * 0.5, ()
-        out, _ = lax.scan(body, y, None, length=inner * n_mlp)
-        return out
+        def mlp_chain(y):
+            def body(carry, _):
+                h = carry
+                for W in Ws:
+                    h = jnp.maximum(h @ W, 0.0)
+                # fold back to state width to keep the carry shape
+                return h[:, :nx] + carry[:, :nx] * 0.5, ()
+            out, _ = lax.scan(body, y, None, length=inner * n_mlp)
+            return out
 
-    cm = jax.jit(mlp_chain).lower(y0).compile()
+        cm = jax.jit(mlp_chain).lower(y0).compile()
 
-    def stepm():
-        return cm(y0)
+        def stepm():
+            return cm(y0)
 
-    _sync(stepm())
-    per_chain = _time(stepm, args.dispatches, args.windows, inner)
-    results[f"mlp_chain(x{n_mlp})"] = per_chain
+        _sync(stepm())
+        per_chain = _time(stepm, args.dispatches, args.windows, inner)
+        results[f"mlp_chain(x{n_mlp})"] = per_chain
 
-    # stiff dots per training step: s fwd inverse applies + s reverse
-    n_stiff = 2 * s
-    A = jax.random.normal(jax.random.PRNGKey(9), (nx, nx), jnp.float32)
-    A = A / (1.2 * jnp.linalg.norm(A, 2))
+        # stiff dots per training step: s fwd inverse applies + s reverse
+        n_stiff = 2 * s
+        A = jax.random.normal(jax.random.PRNGKey(9), (nx, nx), jnp.float32)
+        A = A / (1.2 * jnp.linalg.norm(A, 2))
 
-    def stiff_hst(y):
-        def body(carry, _):
-            return lax.dot_general(
-                carry, A, (((1,), (0,)), ((), ())),
-                precision=lax.Precision.HIGHEST), ()
-        out, _ = lax.scan(body, y, None, length=inner * n_stiff)
-        return out
+        def stiff_hst(y):
+            def body(carry, _):
+                return lax.dot_general(
+                    carry, A, (((1,), (0,)), ((), ())),
+                    precision=lax.Precision.HIGHEST), ()
+            out, _ = lax.scan(body, y, None, length=inner * n_stiff)
+            return out
 
-    ch = jax.jit(stiff_hst).lower(y0).compile()
+        ch = jax.jit(stiff_hst).lower(y0).compile()
 
-    def steph():
-        return ch(y0)
+        def steph():
+            return ch(y0)
 
-    _sync(steph())
-    results[f"stiff_highest(x{n_stiff})"] = _time(
-        steph, args.dispatches, args.windows, inner)
+        _sync(steph())
+        results[f"stiff_highest(x{n_stiff})"] = _time(
+            steph, args.dispatches, args.windows, inner)
 
-    Ah = A.astype(jnp.bfloat16).astype(jnp.float32)
-    Al = A - Ah
+        Ah = A.astype(jnp.bfloat16).astype(jnp.float32)
+        Al = A - Ah
 
-    def stiff_b3(y):
-        def body(carry, _):
-            xh = carry.astype(jnp.bfloat16).astype(jnp.float32)
-            xl = carry - xh
-            out = (xh @ Ah + xh @ Al) + xl @ Ah
-            return out, ()
-        out, _ = lax.scan(body, y, None, length=inner * n_stiff)
-        return out
+        def stiff_b3(y):
+            def body(carry, _):
+                xh = carry.astype(jnp.bfloat16).astype(jnp.float32)
+                xl = carry - xh
+                out = (xh @ Ah + xh @ Al) + xl @ Ah
+                return out, ()
+            out, _ = lax.scan(body, y, None, length=inner * n_stiff)
+            return out
 
-    cb = jax.jit(stiff_b3).lower(y0).compile()
+        cb = jax.jit(stiff_b3).lower(y0).compile()
 
-    def stepb():
-        return cb(y0)
+        def stepb():
+            return cb(y0)
 
-    _sync(stepb())
-    results[f"stiff_bf16x3(x{n_stiff})"] = _time(
-        stepb, args.dispatches, args.windows, inner)
+        _sync(stepb())
+        results[f"stiff_bf16x3(x{n_stiff})"] = _time(
+            stepb, args.dispatches, args.windows, inner)
 
     print(f"\n{args.workload} nx={nx} B={batch} stages={s} "
           f"inner={inner}:")
     for k, v in results.items():
         print(f"  {k:>22}: {v:8.2f} us/step")
-    print(f"  {'reverse(=grad-fwd)':>22}: "
-          f"{results['grad'] - results['fwd']:8.2f} us/step")
-    print(f"  {'adam(=train-grad)':>22}: "
-          f"{results['train'] - results['grad']:8.2f} us/step")
+    if "solve" in probes:
+        print(f"  {'reverse(=grad-fwd)':>22}: "
+              f"{results['grad'] - results['fwd']:8.2f} us/step")
+        print(f"  {'adam(=train-grad)':>22}: "
+              f"{results['train'] - results['grad']:8.2f} us/step")
 
 
 if __name__ == "__main__":
