@@ -27,9 +27,20 @@ class BatchStatsNorm(nn.Module):
 
     Statistics are always computed in f32 (bf16 mean/var over 128k
     elements loses whole digits); the result is cast back to the input
-    dtype so the mixed-precision activation stream stays bf16."""
+    dtype so the mixed-precision activation stream stays bf16.
+
+    For LARGE inputs the statistics ride one fused sibling reduction
+    (E[x], E[x^2]; var = E[x^2] - E[x]^2, clamped at 0) instead of
+    jnp.var's separate centered pass: measured on the chip this takes a
+    stage-1 SqNxt dynamics eval from 96 to 79 us (tools/profile_cifar.py)
+    but LOSES ~17% on tiny stage-4 tensors where the extra x*x pass
+    costs more than the saved reduction — hence the size gate. The
+    uncentered form is safe here: conv outputs have O(1) mean/var, so
+    f32 cancellation noise is ~1e-7 relative, far below the norm's eps."""
 
     eps: float = 1e-5
+    # single-pass stats above ~1M f32 elements (measured crossover)
+    single_pass_min_size: int = 1 << 20
 
     @nn.compact
     def __call__(self, x):
@@ -37,7 +48,11 @@ class BatchStatsNorm(nn.Module):
         axes = tuple(range(x.ndim - 1))
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=axes)
-        var = jnp.var(x32, axis=axes)
+        if x.size >= self.single_pass_min_size:
+            m2 = jnp.mean(x32 * x32, axis=axes)
+            var = jnp.maximum(m2 - mean * mean, 0.0)
+        else:
+            var = jnp.var(x32, axis=axes)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         out = (x32 - mean) / jnp.sqrt(var + self.eps) * scale + bias

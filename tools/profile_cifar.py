@@ -209,16 +209,54 @@ def main():
             h = fnn.relu(BatchStatsNorm()(mm(h, self.dim)))
             return h
 
+    # single-pass-statistics norm variant: E[x], E[x^2] in one fused
+    # sibling reduction; var = E[x^2] - E[x]^2 (fp32 accumulate, same eps)
+    class SPNorm(fnn.Module):
+        eps: float = 1e-5
+
+        @fnn.compact
+        def __call__(self, x):
+            c = x.shape[-1]
+            axes = tuple(range(x.ndim - 1))
+            x32 = x.astype(jnp.float32)
+            m = jnp.mean(x32, axis=axes)
+            m2 = jnp.mean(x32 * x32, axis=axes)
+            var = m2 - m * m
+            scale = self.param("scale", fnn.initializers.ones, (c,))
+            bias = self.param("bias", fnn.initializers.zeros, (c,))
+            out = (x32 - m) / jnp.sqrt(var + self.eps) * scale + bias
+            return out.astype(x.dtype)
+
+    from pnode_tpu.models.sqnxt import _conv
+
+    class SPDyn(fnn.Module):
+        dim: int
+        dtype: object = None
+
+        @fnn.compact
+        def __call__(self, t, x):
+            c1 = int(self.dim * 0.5)
+            c2 = int(self.dim * 0.25)
+            dt_ = self.dtype
+            h = fnn.relu(SPNorm()(_conv(c1, 1, dtype=dt_)(x)))
+            h = fnn.relu(SPNorm()(_conv(c2, 1, dtype=dt_)(h)))
+            h = fnn.relu(SPNorm()(_conv(c1, (1, 3), dtype=dt_)(h)))
+            h = fnn.relu(SPNorm()(_conv(c1, (3, 1), dtype=dt_)(h)))
+            h = fnn.relu(SPNorm()(_conv(self.dim, 1, dtype=dt_)(h)))
+            return h
+
     # ---- per-stage dynamics-eval probes --------------------------------
     # SqNxt-23 stages: (channels, spatial). inner-scan the eval with a
     # carry-perturbed input so XLA cannot hoist it (profile_sinode lesson).
     dt = {"f32": None, "bf16": jnp.bfloat16}[args.dtype]
     stages = [(32, 32), (64, 16), (128, 8), (256, 4)]
-    variants = [(ch, hw, False) for ch, hw in stages + [(128, 32)]]
-    variants += [(ch, hw, True) for ch, hw in stages]
-    for ch, hw, use_mm in variants:  # (128, 32): stage-1 spatial,
+    variants = [(ch, hw, "dyn") for ch, hw in stages + [(128, 32)]]
+    variants += [(ch, hw, "mm ") for ch, hw in stages]
+    variants += [(ch, hw, "sp ") for ch, hw in stages]
+    kinds = {"dyn": ODEDynamics, "mm ": MMDyn, "sp ": SPDyn}
+    for ch, hw, tag in variants:  # (128, 32): stage-1 spatial,
         # channels padded to the 128-lane width (8x stage-1 logical work)
-        dyn = (MMDyn if use_mm else ODEDynamics)(ch, dtype=dt)
+        dyn = kinds[tag](ch, dtype=dt)
         h0 = jnp.asarray(
             rng.normal(size=(batch, hw, hw, ch)).astype("float32"))
         if dt is not None:
@@ -236,7 +274,6 @@ def main():
         c = jax.jit(evals).lower(p, h0).compile()
         _sync(c(p, h0))
         ms = _time_ms(lambda: c(p, h0), args.dispatches, args.windows)
-        tag = "mm " if use_mm else "dyn"
         results[f"{tag} c={ch} {hw}x{hw} (x{args.inner})"] = ms
 
     print(f"\ncifar b={batch} dtype={args.dtype}:")
@@ -250,7 +287,7 @@ def main():
     # per-eval numbers for the stage probes
     print("\nper-dynamics-eval (us):")
     for k, v in results.items():
-        if k.startswith(("dyn ", "mm ")):
+        if k.startswith(("dyn ", "mm ", "sp ")):
             print(f"  {k:>28}: {v * 1e3 / args.inner:9.2f} us/eval")
     # forward model cost in evals: 17 ODE blocks x Nt=2 x 4 stages = 136
     # dynamics evals (stage-weighted) + stem/entry/head
