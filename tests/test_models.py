@@ -221,3 +221,26 @@ def test_grand_rewiring_and_beltrami():
     g = jax.grad(loss)(params)
     assert any(float(jnp.sum(jnp.abs(a))) > 0
                for a in jax.tree_util.tree_leaves(g["enc_pos"]))
+
+
+def test_batch_stats_norm_single_pass_matches_centered():
+    """The size-gated single-pass statistics (E[x], E[x^2]) must agree
+    with jnp.var's centered pass on both sides of the gate — same
+    normalization up to f32 roundoff (models/sqnxt.py BatchStatsNorm)."""
+    from pnode_tpu.models.sqnxt import BatchStatsNorm
+
+    rng = np.random.default_rng(3)
+    # realistic conv-output scale: O(1) mean and variance
+    x = jnp.asarray(
+        (1.5 + 0.8 * rng.normal(size=(8, 16, 16, 4))).astype("float32"))
+
+    small_gate = BatchStatsNorm(single_pass_min_size=1)       # single-pass
+    large_gate = BatchStatsNorm(single_pass_min_size=1 << 30)  # centered
+    p1 = small_gate.init(jax.random.PRNGKey(0), x)
+    p2 = large_gate.init(jax.random.PRNGKey(0), x)
+    y1 = small_gate.apply(p1, x)
+    y2 = large_gate.apply(p2, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=0, atol=5e-5)
+    # and the default gate picks the centered pass for this small input
+    assert x.size < BatchStatsNorm().single_pass_min_size
