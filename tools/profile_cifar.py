@@ -229,21 +229,30 @@ def main():
 
     from pnode_tpu.models.sqnxt import _conv
 
-    class SPDyn(fnn.Module):
-        dim: int
-        dtype: object = None
+    def _norm_dyn(norm_cls):
+        class NormDyn(fnn.Module):
+            dim: int
+            dtype: object = None
 
-        @fnn.compact
-        def __call__(self, t, x):
-            c1 = int(self.dim * 0.5)
-            c2 = int(self.dim * 0.25)
-            dt_ = self.dtype
-            h = fnn.relu(SPNorm()(_conv(c1, 1, dtype=dt_)(x)))
-            h = fnn.relu(SPNorm()(_conv(c2, 1, dtype=dt_)(h)))
-            h = fnn.relu(SPNorm()(_conv(c1, (1, 3), dtype=dt_)(h)))
-            h = fnn.relu(SPNorm()(_conv(c1, (3, 1), dtype=dt_)(h)))
-            h = fnn.relu(SPNorm()(_conv(self.dim, 1, dtype=dt_)(h)))
-            return h
+            @fnn.compact
+            def __call__(self, t, x):
+                c1 = int(self.dim * 0.5)
+                c2 = int(self.dim * 0.25)
+                dt_ = self.dtype
+                h = fnn.relu(norm_cls()(_conv(c1, 1, dtype=dt_)(x)))
+                h = fnn.relu(norm_cls()(_conv(c2, 1, dtype=dt_)(h)))
+                h = fnn.relu(norm_cls()(_conv(c1, (1, 3), dtype=dt_)(h)))
+                h = fnn.relu(norm_cls()(_conv(c1, (3, 1), dtype=dt_)(h)))
+                h = fnn.relu(norm_cls()(_conv(self.dim, 1, dtype=dt_)(h)))
+                return h
+        return NormDyn
+
+    SPDyn = _norm_dyn(SPNorm)
+    # forced-two-pass variant: with the size gate now in BatchStatsNorm,
+    # plain ODEDynamics takes the single-pass branch at stage-1/2 sizes —
+    # this pins jnp.var's centered pass for an A/B at every stage
+    TPDyn = _norm_dyn(
+        lambda: BatchStatsNorm(single_pass_min_size=1 << 62))
 
     # ---- per-stage dynamics-eval probes --------------------------------
     # SqNxt-23 stages: (channels, spatial). inner-scan the eval with a
@@ -253,7 +262,8 @@ def main():
     variants = [(ch, hw, "dyn") for ch, hw in stages + [(128, 32)]]
     variants += [(ch, hw, "mm ") for ch, hw in stages]
     variants += [(ch, hw, "sp ") for ch, hw in stages]
-    kinds = {"dyn": ODEDynamics, "mm ": MMDyn, "sp ": SPDyn}
+    variants += [(ch, hw, "tp ") for ch, hw in stages]
+    kinds = {"dyn": ODEDynamics, "mm ": MMDyn, "sp ": SPDyn, "tp ": TPDyn}
     for ch, hw, tag in variants:  # (128, 32): stage-1 spatial,
         # channels padded to the 128-lane width (8x stage-1 logical work)
         dyn = kinds[tag](ch, dtype=dt)
@@ -287,7 +297,7 @@ def main():
     # per-eval numbers for the stage probes
     print("\nper-dynamics-eval (us):")
     for k, v in results.items():
-        if k.startswith(("dyn ", "mm ", "sp ")):
+        if k.startswith(("dyn ", "mm ", "sp ", "tp ")):
             print(f"  {k:>28}: {v * 1e3 / args.inner:9.2f} us/eval")
     # forward model cost in evals: 17 ODE blocks x Nt=2 x 4 stages = 136
     # dynamics evals (stage-weighted) + stem/entry/head
