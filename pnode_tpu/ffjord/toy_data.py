@@ -58,20 +58,16 @@ def inf_train_gen(data: str, rng=None, batch_size: int = 200) -> np.ndarray:
         return (np.stack([x1, x2], 1) * 2).astype(np.float32)
 
     if data == "rings":
-        n_samples4 = n_samples3 = n_samples2 = batch_size // 4
-        n_samples1 = batch_size - n_samples4 - n_samples3 - n_samples2
-        linspace4 = np.linspace(0, 2 * np.pi, n_samples4, endpoint=False)
-        linspace3 = np.linspace(0, 2 * np.pi, n_samples3, endpoint=False)
-        linspace2 = np.linspace(0, 2 * np.pi, n_samples2, endpoint=False)
-        linspace1 = np.linspace(0, 2 * np.pi, n_samples1, endpoint=False)
-        circ4_x, circ4_y = np.cos(linspace4), np.sin(linspace4)
-        circ3_x, circ3_y = np.cos(linspace3) * 0.75, np.sin(linspace3) * 0.75
-        circ2_x, circ2_y = np.cos(linspace2) * 0.5, np.sin(linspace2) * 0.5
-        circ1_x, circ1_y = np.cos(linspace1) * 0.25, np.sin(linspace1) * 0.25
-        x = np.vstack(
-            [np.hstack([circ4_x, circ3_x, circ2_x, circ1_x]),
-             np.hstack([circ4_y, circ3_y, circ2_y, circ1_y])]
-        ).T * 3.0
+        # Four concentric rings (radii 1.0/0.75/0.5/0.25, scaled by 3):
+        # deterministic equispaced angles per ring, then global shuffle + noise.
+        radii = (1.0, 0.75, 0.5, 0.25)
+        counts = [batch_size // 4] * 3
+        counts.append(batch_size - sum(counts))  # innermost absorbs remainder
+        pts = []
+        for r, cnt in zip(radii, counts):
+            ang = np.linspace(0, 2 * np.pi, cnt, endpoint=False)
+            pts.append(np.stack([np.cos(ang), np.sin(ang)], axis=1) * r)
+        x = np.concatenate(pts, axis=0) * 3.0
         x = x[rng.permutation(batch_size)]
         return (x + rng.normal(scale=0.08, size=x.shape)).astype(np.float32)
 

@@ -107,8 +107,20 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
     entries warn about machine-feature mismatches across processes."""
     import jax
 
-    if tpu_only and jax.default_backend() not in ("tpu", "axon"):
-        return None
+    if tpu_only:
+        # Decide from the *configured* platform string WITHOUT initializing
+        # the backend: jax.default_backend() here would bring up the axon
+        # tunnel (30-600 s) inside pnode_tpu.init(), before a driver's
+        # --cpu flag can run jax.config.update("jax_platforms", "cpu") —
+        # observed as every CPU driver hanging in round 4. Only fall back
+        # to a real backend query when no platform hint exists at all.
+        plats = (getattr(jax.config, "jax_platforms", None)
+                 or os.environ.get("JAX_PLATFORMS", ""))
+        if plats:
+            if not any(p in plats for p in ("tpu", "axon")):
+                return None
+        elif jax.default_backend() not in ("tpu", "axon"):
+            return None
     cache_dir = (
         cache_dir
         or os.environ.get("PNODE_COMPILATION_CACHE")
