@@ -158,6 +158,24 @@ def bench_sinode(args, nx, batch, dt, metric):
     t_out = np.array([0.0, dt])
     params = (vim, vex)
 
+    # --dp: batch-sharded data parallelism over a device Mesh on the
+    # scanned training path (the fused-loop kernel is a single-chip
+    # VMEM-resident program; DP shards around compiled programs, so the
+    # two compose per-device in principle but are benchmarked separately).
+    # On this sandbox's one real chip a --dp 1 mesh must be a
+    # zero-regression configuration; N-device scaling runs on the virtual
+    # CPU mesh (tests/test_parallel.py asserts gradient equality there).
+    dp_mesh = None
+    if args.dp:
+        from pnode_tpu.parallel import make_mesh
+
+        n_dev = args.dp if args.dp > 0 else len(jax.devices())
+        if batch % n_dev:
+            raise SystemExit(f"--dp {n_dev} must divide batch {batch}")
+        dp_mesh = make_mesh(n_dev)
+        print(f"data-parallel mesh: {n_dev} device(s), "
+              f"{batch // n_dev} samples/device", file=sys.stderr)
+
     # ---- fused training-LOOP kernel path (ops/fused_train_loop.py) ----
     # The complete training iteration (ARK-IMEX forward + stage-exact
     # reverse + Adam) runs INSIDE one Pallas kernel, `inner` iterations
@@ -168,7 +186,8 @@ def bench_sinode(args, nx, batch, dt, metric):
     # equal to the generic ODESolver + optax.adam loop per-step in
     # tests/test_fused_train_loop.py. Same static gate as the per-step
     # fused kernels + a VMEM-fit check; --no_fused_loop forces the scan.
-    if use_pallas and not args.no_fused_loop and state_dtype == jnp.float32:
+    if (use_pallas and not args.no_fused_loop and dp_mesh is None
+            and state_dtype == jnp.float32):
         from pnode_tpu.ops.fused_train_loop import (
             fused_train_loop,
             fused_train_loop_cost,
@@ -270,6 +289,12 @@ def bench_sinode(args, nx, batch, dt, metric):
 
     inner = max(1, int(args.inner_steps))
 
+    dp_vg = None
+    if dp_mesh is not None:
+        from pnode_tpu.parallel import dp_value_and_grad
+
+        dp_vg = dp_value_and_grad(lambda p, data: loss_fn(p, *data), dp_mesh)
+
     def train_steps(p, opt_state, y0, target):
         """`inner` full training steps per dispatch (lax.scan): the
         tunneled chip pays ~per-dispatch host latency, so the headline
@@ -278,7 +303,10 @@ def bench_sinode(args, nx, batch, dt, metric):
 
         def body(carry, _):
             p, s = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p, y0, target)
+            if dp_vg is not None:
+                loss, grads = dp_vg(p, (y0, target))
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(p, y0, target)
             updates, s = opt.update(grads, s)
             return (optax.apply_updates(p, updates), s), loss
 
@@ -292,6 +320,12 @@ def bench_sinode(args, nx, batch, dt, metric):
     target = y0 + 0.05 * jax.random.normal(
         k2, (batch, nx), state_dtype)
     opt_state = opt.init(params)
+    if dp_mesh is not None:
+        from pnode_tpu.parallel import replicate, shard_batch
+
+        y0, target = shard_batch((y0, target), dp_mesh)
+        params = replicate(params, dp_mesh)
+        opt_state = replicate(opt_state, dp_mesh)
 
     # AOT compile: exact compile-time measurement (warm runs hit the
     # persistent compilation cache enabled in pnode_tpu.init) + the
@@ -426,6 +460,17 @@ def main():
     ap.add_argument("--no_fused_loop", action="store_true",
                     help="skip the fused training-loop kernel; benchmark "
                          "the scanned per-step path instead")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="sinode workloads: data-parallel over N devices "
+                         "(-1 = all) on the scanned path — batch sharded "
+                         "over a Mesh, solve device-local, one pmean pair "
+                         "per step (pnode_tpu.parallel)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend in-process (env "
+                         "JAX_PLATFORMS does not stick under the axon "
+                         "plugin); combine with env XLA_FLAGS="
+                         "--xla_force_host_platform_device_count=N for an "
+                         "N-device virtual mesh")
     ap.add_argument("--inner_steps", type=int, default=400,
                     help="training steps per dispatch (lax.scan); 1 = "
                          "per-step host dispatch mode")
@@ -446,6 +491,9 @@ def main():
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     import pnode_tpu
 
     pnode_tpu.init([sys.argv[0]] + unknown)
@@ -462,6 +510,9 @@ def main():
             metric += f"_{args.dtype}"
         if args.adam_moments != "f32":
             metric += "_mbf16"
+        if args.dp:
+            n_dev = args.dp if args.dp > 0 else len(jax.devices())
+            metric += f"_dp{n_dev}"
         value = best  # comparable with rounds 1+ (best-of-window convention)
         rate_for_roofline = best
         unit = "steps/s"
@@ -475,6 +526,9 @@ def main():
             metric += f"_{args.dtype}"
         if args.adam_moments != "f32":
             metric += "_mbf16"
+        if args.dp:
+            n_dev = args.dp if args.dp > 0 else len(jax.devices())
+            metric += f"_dp{n_dev}"
         value = med
         rate_for_roofline = med
         unit = "steps/s"

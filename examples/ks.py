@@ -62,6 +62,12 @@ parser.add_argument("--fused_loop", action="store_true",
 parser.add_argument("--node", action="store_true",
                     help="autodiff-through-solver baseline (the reference's "
                          "KS_node torchdiffeq comparison)")
+parser.add_argument("--dp", type=int, default=0,
+                    help="data-parallel training over N devices (-1 = all): "
+                         "batch axis sharded over a jax.sharding Mesh, the "
+                         "IMEX solve + discrete adjoint local per device, "
+                         "one gradient pmean per step "
+                         "(pnode_tpu.parallel). N must divide --batch_size")
 parser.add_argument("--cpu", action="store_true")
 args = init_flags(parser)
 
@@ -259,17 +265,45 @@ def main():
             "t": 0,
         }
 
+    def data_loss(pp, data):
+        y0, tgt = data
+        if args.node:
+            pred, _ = ode.solve(y0, t_out, params=pp, with_adjoint=False)
+        else:
+            pred = ode.odeint_adjoint(y0, t_out, params=pp)
+        # pred[0] is y0 itself; targets align with pred[1:]
+        return jnp.mean((jnp.swapaxes(pred[1:], 0, 1) - tgt) ** 2)
+
+    # --dp: batch-sharded training over a device mesh — the solve stays
+    # device-local (the reference's COMM_SELF semantics), one pmean pair
+    # reduces loss/grads. Per-shard solves need the solver's internal
+    # batch bookkeeping to match the LOCAL batch, which it does: the
+    # stepper is shape-polymorphic over the leading axis.
+    dp_mesh = None
+    if args.dp:
+        if args.fused_loop:
+            raise SystemExit("--dp composes with the scanned training path; "
+                             "--fused_loop is a single-chip VMEM-resident "
+                             "kernel — drop one of the two flags")
+        from pnode_tpu.parallel import (
+            dp_value_and_grad, make_mesh, replicate, shard_batch,
+        )
+        n_dev = args.dp if args.dp > 0 else len(jax.devices())
+        if args.batch_size % n_dev:
+            raise SystemExit(f"--dp {n_dev} must divide --batch_size "
+                             f"{args.batch_size}")
+        dp_mesh = make_mesh(n_dev)
+        print(f"data-parallel: {n_dev} device(s), "
+              f"{args.batch_size // n_dev} samples/device")
+        vg = dp_value_and_grad(data_loss, dp_mesh)
+        params = replicate(params, dp_mesh)
+        opt_state = replicate(opt_state, dp_mesh)
+    else:
+        vg = jax.value_and_grad(data_loss)
+
     @jax.jit
     def train_step(p, opt_state, y0, tgt):
-        def loss_fn(pp):
-            if args.node:
-                pred, _ = ode.solve(y0, t_out, params=pp, with_adjoint=False)
-            else:
-                pred = ode.odeint_adjoint(y0, t_out, params=pp)
-            # pred[0] is y0 itself; targets align with pred[1:]
-            return jnp.mean((jnp.swapaxes(pred[1:], 0, 1) - tgt) ** 2)
-
-        loss, g = jax.value_and_grad(loss_fn)(p)
+        loss, g = vg(p, (y0, tgt))
         updates, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(p, updates), opt_state, loss
 
@@ -313,6 +347,8 @@ def main():
             for y0_np, tgt_np in train_loader:
                 y0 = jnp.asarray(y0_np, dtype)
                 tgt = jnp.asarray(tgt_np, dtype)
+                if dp_mesh is not None:
+                    y0, tgt = shard_batch((y0, tgt), dp_mesh)
                 params, opt_state, loss = train_step(
                     params, opt_state, y0, tgt)
                 epoch_losses.append(loss)
