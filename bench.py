@@ -387,6 +387,167 @@ def bench_sinode(args, nx, batch, dt, metric):
     return med * inner, best * inner, info
 
 
+def bench_adaptive(args, nx=64, batch=256, dt=0.2):
+    """KS IMEX training throughput under the ADAPTIVE engine.
+
+    PETSc's default operating mode is adaptive TS (-ts_adapt_type basic,
+    /root/reference/pnode/petsc_adjoint.py:768-775 + TSAdapt); this measures
+    the full adaptive training step — embedded-error trial loop forward,
+    replay-accepted-steps discrete adjoint, Adam — at the KS headline shapes.
+    The trial axis is bounded by -ts_adapt_max_steps (default 32 here:
+    at the default rtol/atol 1e-4 one dt_data=0.2 window costs ~23
+    accepted steps warm, ~30 trials cold — the static trial axis IS the
+    device work, so it is sized to the demand; the flag tail overrides).
+    Accepted/rejected counts and completion ride the JSON.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import pnode_tpu
+    from pnode_tpu import FlaxFunc, ODESolver
+    from pnode_tpu.models import KSFuncEX, KSFuncIM
+
+    pnode_tpu.set_option("snes_type", "ksponly")
+    pnode_tpu.set_option("ksp_rtol", "1e-6")
+    # fp32-safe tolerances; the flag tail overrides any of these
+    from pnode_tpu.options import Options
+
+    _opts = Options("")
+    for name, val in (("ts_adapt_type", "basic"), ("ts_rtol", "1e-4"),
+                      ("ts_atol", "1e-4"), ("ts_adapt_max_steps", "32")):
+        if not _opts.has(name):
+            pnode_tpu.set_option(name, val)
+
+    dtype = jnp.float32
+    use_pallas = (not args.no_pallas) and jax.default_backend() in (
+        "tpu", "axon"
+    )
+    key = jax.random.PRNGKey(0)
+    y_tmpl = jnp.zeros((batch, nx), dtype)
+    im = KSFuncIM(nx=nx)
+    ex = KSFuncEX(nx=nx, use_pallas=use_pallas)
+    vim = im.init(key, 0.0, y_tmpl)
+    vex = ex.init(key, 0.0, y_tmpl)
+    params = (vim, vex)
+
+    ode = ODESolver()
+    ode.setupTS(
+        y_tmpl, FlaxFunc(im, vim), step_size=dt, method="imex",
+        imex_form=True, implicit_form=True, func2=FlaxFunc(ex, vex),
+        linear_solver="hpddm", fixed_jacobian=True, batch_size=batch,
+    )
+    t_out = jnp.asarray([0.0, dt], dtype)
+
+    from pnode_tpu.utils import flat_adam
+
+    opt = flat_adam(5e-3)
+
+    def loss_fn(p, y0, target, dtc):
+        pred, stats = ode.solve(y0, t_out, params=p, dt0=dtc)
+        d = (pred[-1] - target).astype(jnp.float32)
+        return jnp.mean(d * d), stats
+
+    inner = max(1, int(args.inner_steps))
+
+    def train_steps(p, opt_state, dtc, y0, target):
+        """dt WARM START across training steps: each solve seeds the
+        controller with the previous solve's adapted dt (stats.dt_last)
+        instead of re-paying the initial rejection descent from dt0 —
+        PETSc resets dt per TSSolve (petsc_adjoint.py:813-817), so this
+        is an optimization beyond the reference's operating mode."""
+        from jax import lax
+
+        def body(carry, _):
+            p, s, dtc = carry
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, y0, target, dtc)
+            updates, s = opt.update(grads, s)
+            rej = stats.rejected
+            return ((optax.apply_updates(p, updates), s, stats.dt_last),
+                    (loss, rej))
+
+        (p, opt_state, dtc), (losses, rejs) = lax.scan(
+            body, (p, opt_state, dtc), None, length=inner
+        )
+        return p, opt_state, dtc, losses[-1], jnp.sum(rejs)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    y0 = jax.random.normal(k1, (batch, nx), dtype)
+    target = y0 + 0.05 * jax.random.normal(k2, (batch, nx), dtype)
+    opt_state = opt.init(params)
+    dt_carry = jnp.asarray(dt, jnp.float32)
+
+    t0 = time.time()
+    lowered = jax.jit(train_steps).lower(
+        params, opt_state, dt_carry, y0, target)
+    trace_s = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    compile_s = time.time() - t0
+    print(f"trace: {trace_s:.1f}s  compile: {compile_s:.1f}s",
+          file=sys.stderr)
+
+    # eager cold/warm solves for the controller report (the warm trial
+    # counts feed the roofline's device-work model below)
+    _, stats = ode.solve(y0, t_out, params=params)
+    cold = (int(stats.accepted), int(stats.rejected), bool(stats.completed))
+    _, stats = ode.solve(y0, t_out, params=params, dt0=stats.dt_last)
+    accepted, rejected = int(stats.accepted), int(stats.rejected)
+    completed = bool(stats.completed)
+    print(f"controller: cold start {cold[0]} accepted / {cold[1]} rejected "
+          f"(completed={cold[2]}); dt-warm-started {accepted} accepted / "
+          f"{rejected} rejected (completed={completed})", file=sys.stderr)
+    if not completed:
+        print("WARNING: solve did not land all outputs within "
+              "-ts_adapt_max_steps — raise it; numbers below are invalid",
+              file=sys.stderr)
+
+    state = {"p": params, "s": opt_state, "dt": dt_carry}
+
+    def step():
+        state["p"], state["s"], state["dt"], loss, rej = compiled(
+            state["p"], state["s"], state["dt"], y0, target
+        )
+        return loss
+
+    t0 = time.time()
+    _sync(step())
+    print(f"first step: {time.time()-t0:.1f}s", file=sys.stderr)
+    for _ in range(2):
+        step()
+    _sync(step())
+
+    n_steps = 10 if args.quick else args.steps
+    med, best = _windows(step, n_steps, args.windows)
+
+    # device-work model: forward runs (accepted + rejected) embedded trials;
+    # the gated reverse replays the full static trial axis (rejected slots
+    # reverse as identities but still execute their gated step)
+    from pnode_tpu.ops.fused_ark_adjoint import fused_ark_adj_cost
+    from pnode_tpu.ops.fused_ark_forward import fused_ark_fwd_cost
+
+    stp = ode._stepper
+    tab = (stp._aI, stp._aE, stp._bI, stp._bE)
+    dims = [104] * 4 + [nx]
+    ffl, fby = fused_ark_fwd_cost(tab, batch, nx, dims)
+    afl, aby = fused_ark_adj_cost(tab, batch, nx, dims)
+    max_trials = ode.opts.get_int("ts_adapt_max_steps", 32)
+    # the static trial axis is the device work: every slot executes its
+    # (masked) embedded step forward and gated transpose in reverse
+    info = {
+        "compile_s": round(trace_s + compile_s, 1),
+        "compiled": compiled,
+        "work_per_program": inner,
+        "extra_flops": float((ffl + afl) * max_trials),
+        "extra_bytes": float((fby + aby) * max_trials),
+        "accepted": accepted,
+        "rejected": rejected,
+        "completed": completed,
+    }
+    return med * inner, best * inner, info
+
+
 def bench_cifar(args):
     """CIFAR-10 ODE-net epoch wall-time (reference memstat protocol)."""
     import jax
@@ -451,7 +612,8 @@ def bench_cifar(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workload", choices=["ks", "burgers", "cifar"],
+    ap.add_argument("--workload",
+                    choices=["ks", "burgers", "cifar", "adaptive"],
                     default="ks")
     ap.add_argument("--quick", action="store_true", help="fewer timed steps")
     ap.add_argument("--steps", type=int, default=30)
@@ -532,6 +694,12 @@ def main():
         value = med
         rate_for_roofline = med
         unit = "steps/s"
+    elif args.workload == "adaptive":
+        med, best, info = bench_adaptive(args)
+        metric = "ks_sinode_adaptive_train_steps_per_sec_b256_nx64_imex"
+        value = med
+        rate_for_roofline = med
+        unit = "steps/s"
     else:
         med, best, epoch_s, info = bench_cifar(args)
         metric = (
@@ -591,6 +759,10 @@ def main():
         "hbm_bytes_per_step": round(rf["hbm_bytes_per_unit"], 1),
         "compile_s": info["compile_s"],
     }
+    if "accepted" in info:
+        rec["accepted"] = info["accepted"]
+        rec["rejected"] = info["rejected"]
+        rec["completed"] = info["completed"]
     try:
         from pnode_tpu.ops.fused_ark_adjoint import (
             auto_tier_decisions, stiff_dot_precision,

@@ -86,6 +86,12 @@ class AdaptiveStats(NamedTuple):
     newton_iters: jnp.ndarray
     newton_converged: jnp.ndarray
     completed: jnp.ndarray  # all outputs reached within max_steps
+    # controller dt after the final trial — feed back as the next solve's
+    # dt0 (ODESolver.solve(..., dt0=stats.dt_last)) to warm-start the
+    # controller across repeated solves of the same system; PETSc resets
+    # dt each TSSolve (petsc_adjoint.py:813-817), so the warm start is an
+    # optimization beyond the reference's operating mode
+    dt_last: jnp.ndarray
 
 
 def _wrms(err, y0, y1, rtol, atol):
@@ -127,12 +133,14 @@ def trial_step_core(stp, params, cfg, touts, n_out, expo, core):
     host-orchestrated disk driver (disk_host.AdaptiveHostDiskTrajectory);
     their bit-parity holds because both run this function.
 
-    ``core`` = (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv, eprev).
+    ``core`` = (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv, eprev,
+    rejprev).
     Returns ``(new_core, (t, dt_try, accept, out_slot), aux)`` with t/y the
     PRE-step values in the record and ``aux`` the step's stage set (for
     policies that capture it).
     """
-    (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv, eprev) = core
+    (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv, eprev,
+     rejprev) = core
     tdtype = t.dtype
     t_end = touts[-1]
     done = out_i >= n_out
@@ -156,8 +164,19 @@ def trial_step_core(stp, params, cfg, touts, n_out, expo, core):
         # elementary controller (PETSc TSAdapt basic)
         fac = cfg.safety * jnp.power(e_cur, -expo)
     fac = jnp.clip(fac, cfg.dt_min_factor, cfg.dt_max_factor)
+    # Stability-limited problems (e.g. the ARK explicit part near its
+    # stability boundary) bounce: an easy accept grows dt up to
+    # dt_max_factor, the next trial's error explodes non-polynomially, and
+    # several rejections pay the way back down. Hairer's DOPRI5 rule
+    # (Hairer-Wanner II.4, also PETSc TSAdapt's post-reject behavior):
+    # no growth on the trial immediately following a rejection.
+    fac = jnp.where(rejprev, jnp.minimum(fac, 1.0), fac)
     dt_next = jnp.where(done, dt, dt * fac)
     eprev_new = jnp.where(accept, e_cur, eprev)
+    rejprev_new = jnp.where(
+        done, rejprev,
+        jnp.logical_and(jnp.logical_not(accept), jnp.logical_not(done)),
+    )
 
     t_new = jnp.where(accept, t + dt_try, t)
     y_new = jax.tree_util.tree_map(
@@ -180,7 +199,7 @@ def trial_step_core(stp, params, cfg, touts, n_out, expo, core):
     nit = nit + st.newton_iters
     conv = jnp.logical_and(conv, st.newton_converged)
     new_core = (t_new, y_new, dt_next, out_i, outputs, n_acc, n_rej,
-                nit, conv, eprev_new)
+                nit, conv, eprev_new, rejprev_new)
     return new_core, (t, dt_try, accept, out_slot), aux
 
 
@@ -286,7 +305,7 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
 
     # -- forward -------------------------------------------------------------
 
-    def forward(y0, params):
+    def forward(y0, params, dt0_v):
         stp = _prepared(y0, params)
         dtype = y0.dtype
         # time/dt/controller scalars ride at >= f32: bf16 time arithmetic
@@ -329,7 +348,7 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
 
         def body(carry, x):
             (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv,
-             eprev, bufs) = carry
+             eprev, rejprev, bufs) = carry
             k = x[0]
 
             if kind == "checkpoint":
@@ -352,7 +371,8 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
                     jax.ShapeDtypeStruct((), jnp.int32), k, y, ordered=True,
                 )
 
-            core = (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv, eprev)
+            core = (t, y, dt, out_i, outputs, n_acc, n_rej, nit, conv,
+                    eprev, rejprev)
             new_core, rec, aux = trial_step_core(
                 stp, params, cfg, touts, n_out, expo, core
             )
@@ -390,23 +410,26 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
             return new_carry, rec
 
         init = (
-            jnp.asarray(t_out[0], tdtype), y0, jnp.asarray(dt0, tdtype),
+            jnp.asarray(t_out[0], tdtype), y0,
+            jnp.asarray(dt0_v, tdtype).reshape(()),
             jnp.asarray(1), outputs0, jnp.asarray(0), jnp.asarray(0),
             jnp.asarray(0, jnp.int32), jnp.asarray(True),
-            jnp.asarray(1.0, tdtype), bufs0,
+            jnp.asarray(1.0, tdtype), jnp.asarray(False), bufs0,
         )
         carry, recs = lax.scan(body, init, xs)
-        (_, _, _, out_i, outputs, n_acc, n_rej, nit, conv, _, bufs) = carry
+        (_, _, dt_end, out_i, outputs, n_acc, n_rej, nit, conv, _, _,
+         bufs) = carry
         stats = AdaptiveStats(
             steps=n_acc + n_rej, accepted=n_acc, rejected=n_rej,
             newton_iters=nit, newton_converged=conv,
-            completed=out_i >= n_out,
+            completed=out_i >= n_out, dt_last=dt_end,
         )
         return outputs, stats, recs, bufs
 
     if not with_adjoint:
-        def solve_noadj(y0, params):
-            outputs, stats, _, _ = forward(y0, params)
+        def solve_noadj(y0, params, dt0_arg=None):
+            d = dt0 if dt0_arg is None else dt0_arg
+            outputs, stats, _, _ = forward(y0, params, d)
             return outputs, stats
 
         return solve_noadj
@@ -672,12 +695,12 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
     # -- custom-vjp wrapper --------------------------------------------------
 
     @jax.custom_vjp
-    def solve(y0, params):
-        outputs, stats, _, _ = forward(y0, params)
+    def solve_core(y0, params, dt0_v):
+        outputs, stats, _, _ = forward(y0, params, dt0_v)
         return outputs, stats
 
-    def solve_fwd(y0, params):
-        outputs, stats, recs, bufs = forward(y0, params)
+    def solve_fwd(y0, params, dt0_v):
+        outputs, stats, recs, bufs = forward(y0, params, dt0_v)
         return (outputs, stats), (y0, params, recs, bufs)
 
     def solve_bwd(res, cts):
@@ -712,11 +735,22 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
 
         # t_out[0] output is y0 itself
         lam = lam + g_outputs[0]
-        return lam, gp
+        # dt0 is data to the controller (the recorded schedule is replayed,
+        # not re-adapted — "differentiate the discretization you ran")
+        return lam, gp, jnp.zeros(
+            (), jnp.promote_types(y0.dtype, jnp.float32))
 
-    solve.defvjp(solve_fwd, solve_bwd)
+    solve_core.defvjp(solve_fwd, solve_bwd)
+
+    def solve(y0, params, dt0_arg=None):
+        d = dt0 if dt0_arg is None else dt0_arg
+        return solve_core(
+            y0, params,
+            jnp.asarray(d, jnp.promote_types(y0.dtype, jnp.float32)))
+
     # exposed for tests: lets the policy-memory test inspect the residual
     # shapes (the scalar record must be O(max_steps), states only where the
     # policy stores them)
-    solve.forward_for_test = forward
+    solve.forward_for_test = lambda y0, params: forward(
+        y0, params, jnp.asarray(dt0))
     return solve

@@ -469,6 +469,7 @@ class AdaptiveHostDiskTrajectory(_HostDiskBase):
             jnp.asarray(self.dt0, tdtype), jnp.asarray(1), outputs0,
             jnp.asarray(0), jnp.asarray(0), jnp.asarray(0, jnp.int32),
             jnp.asarray(True), jnp.asarray(1.0, tdtype),
+            jnp.asarray(False),
         )
         for a, b in self._chunks():
             run = self._fwd_fn(b - a)
@@ -489,11 +490,12 @@ class AdaptiveHostDiskTrajectory(_HostDiskBase):
         self._scalars = (t_sc, dt_sc, acc_sc, slot_sc)
         self._tdtype = tdtype
 
-        (_, _, _, out_i, outputs, n_acc, n_rej, nit, conv, _) = carry
+        (_, _, dt_end, out_i, outputs, n_acc, n_rej, nit, conv, _,
+         _) = carry
         stats = AdaptiveStats(
             steps=n_acc + n_rej, accepted=n_acc, rejected=n_rej,
             newton_iters=nit, newton_converged=conv,
-            completed=out_i >= n_out,
+            completed=out_i >= n_out, dt_last=dt_end,
         )
         return (outputs if self.sel is None else outputs[self.sel]), stats
 

@@ -398,8 +398,17 @@ class ODESolver:
             self._cache[key] = fn
         return fn
 
-    def solve(self, u0, t, params=None, with_adjoint: Optional[bool] = None):
-        """Functional solve: returns (solution, stats); differentiable."""
+    def solve(self, u0, t, params=None, with_adjoint: Optional[bool] = None,
+              dt0=None):
+        """Functional solve: returns (solution, stats); differentiable.
+
+        ``dt0`` (adaptive mode only) overrides the controller's initial
+        step for THIS solve — feed ``stats.dt_last`` from the previous
+        solve to warm-start the controller across repeated solves of the
+        same system (a training loop). PETSc resets dt every TSSolve
+        (petsc_adjoint.py:813-817); the warm start avoids re-paying the
+        initial rejection descent each iteration. May be a traced value.
+        """
         if not self._configured:
             raise RuntimeError("call setupTS before odeint")
         if with_adjoint is None:
@@ -409,9 +418,12 @@ class ODESolver:
             fn = self._get_adaptive_fn(t_full, with_adjoint)
             y0 = jnp.asarray(u0, self.dtype)
             p = self.params if params is None else params
-            outputs, stats = fn(y0, p)
+            outputs, stats = fn(y0, p) if dt0 is None else fn(y0, p, dt0)
             self.last_stats = stats
             return outputs[sel], stats
+        if dt0 is not None:
+            raise ValueError("dt0 is an adaptive-mode argument "
+                             "(-ts_adapt_type basic/pi)")
         grid = build_time_grid(
             t_full, self.step_size, dtype=self.dtype, max_steps=self.max_steps
         )

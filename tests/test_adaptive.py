@@ -446,3 +446,51 @@ def test_adaptive_policies_via_solver_flags_disk(tmp_path):
     for k in gp_ref:
         np.testing.assert_allclose(gp[k], gp_ref[k], rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(gy, gy_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_adaptive_dt_warm_start():
+    """stats.dt_last fed back as solve(dt0=...) warm-starts the controller:
+    no worse rejection count than the cold solve, same solution, and the
+    gradient path accepts a traced dt0 (zero cotangent: dt is data)."""
+    pnode_tpu.init(["p", "-ts_adapt_type", "basic", "-ts_rtol", "1e-6",
+                    "-ts_atol", "1e-6"])
+    ode = ODESolver()
+    # deliberately oversized dt0: the cold solve pays a rejection descent
+    ode.setupTS(Y0, Func(f_decay, P), step_size=5.0, method="dopri5")
+    t = jnp.asarray([0.0, 1.0])
+
+    sol_cold, st_cold = ode.solve(Y0, t, params=P)
+    assert bool(st_cold.completed)
+    sol_warm, st_warm = ode.solve(Y0, t, params=P, dt0=st_cold.dt_last)
+    assert bool(st_warm.completed)
+    assert int(st_warm.rejected) <= int(st_cold.rejected)
+    assert float(st_warm.dt_last) > 0.0
+    np.testing.assert_allclose(
+        np.asarray(sol_warm[-1]), np.asarray(sol_cold[-1]), rtol=1e-5)
+
+    def loss(p, dtc):
+        pred, stats = ode.solve(Y0, t, params=p, dt0=dtc)
+        return jnp.sum(pred[-1] ** 2), stats
+
+    (l1, st), g = jax.value_and_grad(loss, has_aux=True)(P, st_cold.dt_last)
+    g_ref = jax.grad(lambda p: jnp.sum(ode.solve(Y0, t, params=p)[0][-1]
+                                       ** 2))(P)
+    # warm-started gradient within controller-schedule distance of cold
+    np.testing.assert_allclose(g["a"], g_ref["a"], rtol=1e-4)
+    np.testing.assert_allclose(g["c"], g_ref["c"], rtol=1e-4)
+
+
+def test_adaptive_no_growth_after_rejection():
+    """The trial following a rejection must not grow dt (Hairer DOPRI5
+    post-reject rule): with a wildly oversized dt0 the controller's
+    rejection count stays bounded by the geometric descent length."""
+    pnode_tpu.init(["p", "-ts_adapt_type", "basic", "-ts_rtol", "1e-7",
+                    "-ts_atol", "1e-7"])
+    ode = ODESolver()
+    ode.setupTS(Y0, Func(f_decay, P), step_size=50.0, method="bosh3")
+    t = jnp.asarray([0.0, 0.5])
+    _, st = ode.solve(Y0, t, params=P)
+    assert bool(st.completed)
+    # descent from dt=50 at clip 0.1/step is <= ~4 rejections to reach
+    # the ~0.05-0.1 working dt; oscillation would multiply this
+    assert int(st.rejected) <= 6
