@@ -24,7 +24,7 @@ parser = argparse.ArgumentParser("grand")
 parser.add_argument("--dataset", type=str, default="synthetic")
 parser.add_argument("--data_dir", type=str, default="./data/planetoid")
 parser.add_argument("--function", type=str, default="laplacian",
-                    choices=["laplacian", "transformer"])
+                    choices=["laplacian", "transformer", "gat"])
 parser.add_argument("--block", type=str, default="pnode",
                     choices=["pnode", "imex"])
 parser.add_argument("--hidden_dim", type=int, default=64)

@@ -2,10 +2,12 @@
 
 Rebuild of the reference's vendored GRAND stack
 (/root/reference/examples-sinode/grand/src/): node features diffuse under
-du/dt = alpha (A u - u) (+ beta u0), where A is either the rw-normalized
-adjacency (LaplacianODEFunc, function_laplacian_diffusion.py:16-60) or a
+du/dt = alpha (A u - u) (+ beta u0), where A is the rw-normalized
+adjacency (LaplacianODEFunc, function_laplacian_diffusion.py:16-60), a
 multi-head scaled-dot transformer attention recomputed at every evaluation
-(SpGraphTransAttentionLayer, function_transformer_attention.py:82-190).
+(SpGraphTransAttentionLayer, function_transformer_attention.py:82-190), or
+additive GAT attention (SpGraphAttentionLayer / ODEFuncAtt,
+function_GAT_attention.py:11-160).
 The PNODEblock integrates this with the discrete-adjoint solver; the IMEX
 variant treats an identity diffusion -sigmoid(alpha) y implicitly
 (block_pnode.py ODEFuncIM, :13-25) with the attention part explicit.
@@ -165,6 +167,85 @@ class TransAttention(nn.Module):
         return att  # (E, heads)
 
 
+class GATAttention(nn.Module):
+    """Sparse GAT attention (arXiv 1710.10903; reference
+    function_GAT_attention.py SpGraphAttentionLayer:106-160): per-head
+    h = (x @ W) split into heads, per-edge score = leakyrelu(a · [h_src;
+    h_dst]) with the 2·d_k attention vector ``a`` SHARED across heads
+    (the reference's a has shape (2 d_k, 1, 1) broadcast over heads),
+    softmax segment-normalized over edge[norm_idx] incidences.
+
+    Returns (att (E, heads), wx (N, heads*d_k)) — wx feeds the
+    mix_features path (multiply_attention, :36-55).
+    """
+
+    hidden_dim: int
+    heads: int = 4
+    leaky_slope: float = 0.2
+    norm_idx: int = 0
+
+    @nn.compact
+    def __call__(self, x, graph: Graph):
+        dk = max(1, self.hidden_dim // self.heads)
+        glorot = nn.initializers.glorot_normal()
+        wx = nn.Dense(dk * self.heads, use_bias=False,
+                      kernel_init=glorot, name="W")(x)
+        h = wx.reshape(-1, self.heads, dk)
+        # split [a_src; a_dst] of the concatenated form: score =
+        # h_src · a_src + h_dst · a_dst (identical math, no (E, 2dk) concat)
+        a_src = self.param("a_src", glorot, (dk, 1), x.dtype)[:, 0]
+        a_dst = self.param("a_dst", glorot, (dk, 1), x.dtype)[:, 0]
+        src, dst = graph.edge_index
+        scores = (h @ a_src)[src] + (h @ a_dst)[dst]  # (E, heads)
+        scores = nn.leaky_relu(scores, negative_slope=self.leaky_slope)
+        seg = graph.edge_index[self.norm_idx]
+        att = jax.vmap(
+            lambda s: segment_softmax(s, seg, graph.num_nodes),
+            in_axes=1, out_axes=1,
+        )(scores)
+        return att, wx
+
+
+class GATFunc(nn.Module):
+    """du/dt = alpha (A_GAT(u) u - u) + beta u0 (ODEFuncAtt,
+    function_GAT_attention.py:11-92): head-averaged attention aggregation
+    of u itself (mix_features=False, the reference default) or of the
+    projected features followed by Wout (mix_features=True)."""
+
+    hidden_dim: int
+    heads: int = 4
+    add_source: bool = True
+    no_alpha_sigmoid: bool = False
+    mix_features: bool = False
+    leaky_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, t, x, graph: Graph, x0):
+        alpha_train = self.param(
+            "alpha_train", nn.initializers.ones, (), x.dtype
+        )
+        beta_train = self.param(
+            "beta_train", nn.initializers.ones, (), x.dtype
+        )
+        alpha = (alpha_train if self.no_alpha_sigmoid
+                 else nn.sigmoid(alpha_train))
+        att, wx = GATAttention(
+            self.hidden_dim, heads=self.heads,
+            leaky_slope=self.leaky_slope)(x, graph)
+        tgt = wx if self.mix_features else x
+        # mean over heads of per-head spmm == spmm with head-averaged
+        # weights (spmm is linear in the edge weights)
+        ax = spmm(graph, jnp.mean(att, axis=1), tgt)
+        if self.mix_features:
+            ax = nn.Dense(x.shape[-1], use_bias=False,
+                          kernel_init=nn.initializers.glorot_normal(),
+                          name="Wout")(ax)
+        f = alpha * (ax - x)
+        if self.add_source:
+            f = f + beta_train * x0
+        return f
+
+
 class LaplacianFunc(nn.Module):
     """du/dt = alpha (A u - u) + beta u0 with fixed rw adjacency."""
 
@@ -269,9 +350,16 @@ class GRANDModel:
         self.dec = nn.Dense(n_classes)
         if function == "laplacian":
             self.func = LaplacianFunc(hidden_dim, add_source=add_source)
-        else:
+        elif function == "gat":
+            self.func = GATFunc(hidden_dim, heads=heads,
+                                add_source=add_source)
+        elif function == "transformer":
             self.func = AttentionFunc(hidden_dim, heads=heads,
                                       add_source=add_source)
+        else:
+            raise ValueError(
+                f"unknown GRAND function {function!r} "
+                "(choose laplacian | transformer | gat)")
         self._ODESolver = ODESolver
         self.method = method
         self.step_size = step_size
