@@ -92,6 +92,15 @@ class AdaptiveStats(NamedTuple):
     # dt each TSSolve (petsc_adjoint.py:813-817), so the warm start is an
     # optimization beyond the reference's operating mode
     dt_last: jnp.ndarray
+    # dt of the FIRST accepted step. For repeated solves over the same
+    # trajectory window (the training loop: y0 fixed, params drifting)
+    # this is the right warm start: a trajectory whose initial data needs
+    # a small dt (high-frequency content that decays along the solve)
+    # ends with dt_last >> the start-of-window requirement, so dt_last
+    # re-pays the whole rejection descent every solve — dt_first lands
+    # inside the accept region immediately (measured on KS b256: 6
+    # rejections/solve with dt_last vs 0-1 with dt_first).
+    dt_first: jnp.ndarray
 
 
 def _wrms(err, y0, y1, rtol, atol):
@@ -419,10 +428,17 @@ def make_adaptive_odeint(stepper, t_out: np.ndarray, cfg: AdaptConfig,
         carry, recs = lax.scan(body, init, xs)
         (_, _, dt_end, out_i, outputs, n_acc, n_rej, nit, conv, _, _,
          bufs) = carry
+        # first accepted trial's dt from the scalar record (recs[1] = dt_try,
+        # recs[2] = accept); argmax picks the first True. No accepts ->
+        # fall back to the end-of-solve dt.
+        dt_r, acc_r = recs[1], recs[2]
+        dt_first = jnp.where(
+            jnp.any(acc_r), dt_r[jnp.argmax(acc_r)], dt_end
+        )
         stats = AdaptiveStats(
             steps=n_acc + n_rej, accepted=n_acc, rejected=n_rej,
             newton_iters=nit, newton_converged=conv,
-            completed=out_i >= n_out, dt_last=dt_end,
+            completed=out_i >= n_out, dt_last=dt_end, dt_first=dt_first,
         )
         return outputs, stats, recs, bufs
 

@@ -492,10 +492,14 @@ class AdaptiveHostDiskTrajectory(_HostDiskBase):
 
         (_, _, dt_end, out_i, outputs, n_acc, n_rej, nit, conv, _,
          _) = carry
+        _acc_idx = np.flatnonzero(acc_sc)
+        dt_first = jnp.asarray(
+            dt_sc[_acc_idx[0]] if _acc_idx.size else dt_end, tdtype
+        )
         stats = AdaptiveStats(
             steps=n_acc + n_rej, accepted=n_acc, rejected=n_rej,
             newton_iters=nit, newton_converged=conv,
-            completed=out_i >= n_out, dt_last=dt_end,
+            completed=out_i >= n_out, dt_last=dt_end, dt_first=dt_first,
         )
         return (outputs if self.sel is None else outputs[self.sel]), stats
 

@@ -403,9 +403,12 @@ class ODESolver:
         """Functional solve: returns (solution, stats); differentiable.
 
         ``dt0`` (adaptive mode only) overrides the controller's initial
-        step for THIS solve — feed ``stats.dt_last`` from the previous
+        step for THIS solve — feed ``stats.dt_first`` from the previous
         solve to warm-start the controller across repeated solves of the
-        same system (a training loop). PETSc resets dt every TSSolve
+        SAME window (a training loop: the first accepted dt is the right
+        scale at t=0; ``stats.dt_last`` is the end-of-window dt and
+        re-pays the descent whenever the trajectory needs a smaller step
+        at the start than at the end). PETSc resets dt every TSSolve
         (petsc_adjoint.py:813-817); the warm start avoids re-paying the
         initial rejection descent each iteration. May be a traced value.
         """

@@ -465,6 +465,14 @@ def test_adaptive_dt_warm_start():
     assert bool(st_warm.completed)
     assert int(st_warm.rejected) <= int(st_cold.rejected)
     assert float(st_warm.dt_last) > 0.0
+    # dt_first = the first ACCEPTED trial's dt: re-solving the same window
+    # from it must land in the accept region immediately (zero rejections)
+    assert float(st_cold.dt_first) > 0.0
+    sol_first, st_first = ode.solve(Y0, t, params=P, dt0=st_cold.dt_first)
+    assert bool(st_first.completed)
+    assert int(st_first.rejected) == 0
+    np.testing.assert_allclose(
+        np.asarray(sol_first[-1]), np.asarray(sol_cold[-1]), rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(sol_warm[-1]), np.asarray(sol_cold[-1]), rtol=1e-5)
 
