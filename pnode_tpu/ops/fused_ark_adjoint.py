@@ -49,10 +49,7 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from .fused_mlp import _ACTS, _pad2, _round_up
-
-# scoped-VMEM budget for the RESIDENT set (weights + dW accumulators +
-# operators); the per-tile working set is sized against the remainder
-VMEM_RESIDENT_BUDGET = 12 * 2**20
+from .vmem import resident_budget_bytes, tpu_compiler_params
 
 
 def stiff_dot_precision() -> str:
@@ -264,11 +261,12 @@ def fused_ark_fits(d: int, layer_dims: Sequence[int],
     w_elems = sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
     wbytes = (2 if weight_dtype == "bf16" else 4) * w_elems
     grad_bytes = 4 * w_elems if with_grad_accumulators else 0
-    # the bf16 path runs closer to the 16M scoped limit: its raison
-    # d'etre is squeezing Burgers-size stacks in, and its per-tile
-    # working set is clamped to the small remainder
-    budget = VMEM_RESIDENT_BUDGET + (2**20 if weight_dtype == "bf16" else 0)
-    return wbytes + grad_bytes + 2 * 4 * P * P <= budget
+    # budget derives from -pnode_vmem_mb (ops/vmem.py): the raised
+    # Mosaic limit / the measured resident->scoped inflation factor.
+    # Burgers-512 f32 (resident 16.4 MB) fits at the default 100 MB
+    # limit; round 3's 12 MB constant (Mosaic's 16 MB default) gated
+    # it out.
+    return wbytes + grad_bytes + 2 * 4 * P * P <= resident_budget_bytes()
 
 
 def pick_weight_dtype(d: int, layer_dims: Sequence[int],
@@ -499,7 +497,7 @@ def fused_ark_step_adj(
             "gate with fused_ark_fits() before calling"
         )
     wb = 2 if weight_dtype == "bf16" else 4
-    budget = 14 * 2**20 + (2**20 if weight_dtype == "bf16" else 0)
+    budget = resident_budget_bytes() + 2 * 2**20
     w_elems = sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
     fixed = (wb + 4) * w_elems + 4 * 2 * P * P
     per_row = 4 * (4 * s * P + 2 * (n_layers + 1) * maxP + 6 * P)
@@ -561,6 +559,8 @@ def fused_ark_step_adj(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         interpret=interpret,
+        **({} if interpret else
+           {"compiler_params": tpu_compiler_params()}),
     )(dt_arr, ys_p, lam_p, jt_p, invt_p, *flat)
 
     lam_prev = outs[0][:B, :d]

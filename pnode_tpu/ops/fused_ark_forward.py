@@ -44,6 +44,7 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from .fused_mlp import _ACTS, _pad2, _round_up
+from .vmem import resident_budget_bytes, tpu_compiler_params
 from .fused_ark_adjoint import (
     _stiff_dot, fused_ark_fits, resolve_stiff_precision,
 )
@@ -185,7 +186,7 @@ def fused_ark_step_fwd(
         raise ValueError("fused ARK forward step does not fit VMEM")
 
     wb = 2 if weight_dtype == "bf16" else 4
-    budget = 14 * 2**20
+    budget = resident_budget_bytes() + 2 * 2**20
     fixed = (wb * sum(pi * pj for pi, pj in zip(pdims, pdims[1:]))
              + 4 * sum(pdims[1:])
              + 4 * 2 * P * P)
@@ -257,6 +258,8 @@ def fused_ark_step_fwd(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         interpret=interpret,
+        **({} if interpret else
+           {"compiler_params": tpu_compiler_params()}),
     )(dt_arr, y_p, jf_p, invf_p, *flat)
     if b_err is not None:
         y1_p, ys_p, err_p = outs

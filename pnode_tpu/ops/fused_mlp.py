@@ -139,12 +139,16 @@ def _call_fwd(x_p, flat_params, meta):
     Bp, D0 = x_p.shape
     out_dim = flat_params[-2].shape[1]
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(flat_params))
+    from .vmem import tpu_compiler_params
+
     return pl.pallas_call(
         functools.partial(_fwd_kernel, n_layers, act),
         out_shape=jax.ShapeDtypeStruct((Bp, out_dim), x_p.dtype),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
+        **({} if interpret else
+           {"compiler_params": tpu_compiler_params()}),
     )(x_p, *flat_params)
 
 
@@ -166,6 +170,8 @@ def _fused_bwd(meta, res, g):
             jax.ShapeDtypeStruct(flat_params[2 * i + 1].shape, x_p.dtype)
         )
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + len(flat_params))
+    from .vmem import tpu_compiler_params
+
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, n_layers, act),
         out_shape=tuple(out_shapes),
@@ -174,6 +180,8 @@ def _fused_bwd(meta, res, g):
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
         ),
         interpret=interpret,
+        **({} if interpret else
+           {"compiler_params": tpu_compiler_params()}),
     )(x_p, g, *flat_params)
     dx = outs[0]
     dparams = tuple(outs[1:])
@@ -205,11 +213,13 @@ def fused_mlp(
     Bp = _round_up(B, 8)
 
     # scoped-VMEM gate: the backward kernel holds weights + weight grads +
-    # all activations; at Burgers sizes (512 -> 640-padded x4) that exceeds
-    # the 16M limit — fall back to plain XLA matmuls (same math)
+    # all activations; beyond the (runtime-configurable, ops/vmem.py)
+    # budget — fall back to plain XLA matmuls (same math)
+    from .vmem import resident_budget_bytes
+
     w_bytes = 4 * sum(pi * pj + pj for pi, pj in zip(pdims, pdims[1:]))
     act_bytes = 4 * Bp * sum(pdims)
-    if 2 * w_bytes + 2 * act_bytes > 14 * 2**20:
+    if 2 * w_bytes + 2 * act_bytes > resident_budget_bytes() + 2 * 2**20:
         h = x
         for i, (w, b) in enumerate(zip(weights, biases)):
             h = h @ w + b

@@ -65,6 +65,7 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from .fused_mlp import _ACTS, _pad2, _round_up
+from .vmem import loop_budget_bytes, tpu_compiler_params
 from .fused_ark_adjoint import (
     _pack_high_operator,
     _stiff_dot,
@@ -88,7 +89,10 @@ def fused_train_loop_fits(B, d, layer_dims, chunk=8) -> bool:
     resident = 4 * (3 * w_elems + 4 * P * P)
     stream = 4 * 4 * chunk * Bp * P
     live = 4 * 10 * Bp * max(pdims)
-    return resident + stream + live < 12 * 2**20
+    # budget from -pnode_vmem_mb (ops/vmem.py): this model already
+    # counts streaming + live temporaries, so it gets the less
+    # conservative loop budget (0.7x the raw limit)
+    return resident + stream + live < loop_budget_bytes()
 
 
 def pick_chunk(K, B, d, layer_dims) -> int:
@@ -499,6 +503,8 @@ def fused_train_loop(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         interpret=interpret,
+        **({} if interpret else
+           {"compiler_params": tpu_compiler_params()}),
     )(dt_arr, t0_arr, lr_arr, y_p, tgt_p, jf_p, invf_p, jt_p, invt_p,
       *flat)
 

@@ -261,9 +261,12 @@ def test_fused_kernels_use_highest_precision_stiff_dots():
 
 
 def test_weight_dtype_gate_and_bf16_kernels():
-    """pick_weight_dtype: auto = f32-where-it-fits, None at Burgers sizes
-    (measured VMEM negative result, round 3); explicit bf16 opt-in runs
-    both kernels with bf16-resident weights close to the f32 output."""
+    """pick_weight_dtype: auto = f32-where-it-fits. With the raised VMEM
+    limit (round 4, tools/probe_vmem_limit.py) Burgers-512 f32 now FITS
+    (resident 16.4 MB vs the 33 MB budget at -pnode_vmem_mb 100);
+    shrinking the budget to Mosaic's old 16 MB default restores the
+    round-3 None verdict. Explicit bf16 opt-in runs both kernels with
+    bf16-resident weights close to the f32 output."""
     import numpy as np
 
     import pnode_tpu
@@ -275,7 +278,11 @@ def test_weight_dtype_gate_and_bf16_kernels():
 
     pnode_tpu.clear_options()
     assert pick_weight_dtype(64, [104] * 4 + [64]) == "f32"
+    assert pick_weight_dtype(512, [576] * 4 + [512]) == "f32"
+    assert pick_weight_dtype(2048, [4096] * 4 + [2048]) is None
+    pnode_tpu.init(["p", "-pnode_vmem_mb", "16"])
     assert pick_weight_dtype(512, [576] * 4 + [512]) is None
+    pnode_tpu.clear_options()
     pnode_tpu.init(["p", "-pnode_fused_ark_weights", "bf16"])
     assert pick_weight_dtype(64, [104] * 4 + [64]) == "bf16"
     pnode_tpu.clear_options()

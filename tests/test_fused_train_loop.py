@@ -163,10 +163,23 @@ def test_fused_train_loop_distinct_minibatches():
 
 
 def test_fused_train_loop_vmem_gate():
+    """Gate scales with -pnode_vmem_mb (default 100 MB raised limit,
+    measured round 4 — tools/probe_vmem_limit.py); Burgers-512 shapes
+    now fit at chunk<=16, absurd shapes never do, and shrinking the
+    budget back to Mosaic's 16 MB default re-gates Burgers out."""
+    import pnode_tpu
     from pnode_tpu.ops.fused_train_loop import fused_train_loop_fits
 
+    pnode_tpu.clear_options()
     assert fused_train_loop_fits(256, 64, [64, 64])
+    assert fused_train_loop_fits(200, 512, [576] * 4 + [512], chunk=16)
     assert not fused_train_loop_fits(4096, 2048, [4096, 4096])
+    pnode_tpu.init(["p", "-pnode_vmem_mb", "16"])
+    try:
+        assert not fused_train_loop_fits(200, 512, [576] * 4 + [512],
+                                         chunk=16)
+    finally:
+        pnode_tpu.clear_options()
 
 
 def test_fused_train_loop_chunked_grid_persistence():
