@@ -165,14 +165,23 @@ class SqueezeNextODE:
 
     def __init__(self, num_classes: int = 10, width_x: float = 1.0,
                  method: str = "rk4", Nt: int = 2, t1: float = 1.0,
-                 enable_adjoint: bool = True, dtype=None):
+                 enable_adjoint: bool = True, dtype=None,
+                 use_pallas: str = "auto"):
         """``dtype="bf16"``/``jnp.bfloat16`` selects mixed-precision
         training: parameters and their gradients stay f32 (flax casts at
         each conv), norm statistics and logits are computed in f32, but
         the activation stream AND the ODE state/trajectory are bf16 —
         halving the HBM traffic this conv-bound workload sits on (bench:
         hbm_frac > 1 at f32). TPU-native capability beyond the reference
-        (PETSc builds are fp32/fp64 only)."""
+        (PETSc builds are fp32/fp64 only).
+
+        ``use_pallas``: "auto" (fused ODE-dynamics Pallas kernel on TPU
+        where the stage fits VMEM — ops/fused_sqnxt.py), "off", "on",
+        or "interpret" (CPU testing). The CIFAR step is op-latency bound
+        (~5 us/op floor x ~13 ops/eval, tools/profile_cifar.py); the
+        fused kernel evaluates the whole conv/norm/relu chain in one
+        launch on a lane-dense (C, N) layout, converting layouts once
+        per RUN of consecutive ODE blocks (a stage), not per eval."""
         from ..solver import ODESolver
 
         if isinstance(dtype, str):
@@ -205,6 +214,10 @@ class SqueezeNextODE:
         self.pieces.append(("head", Head(width_x, num_classes, dtype=dtype)))
         self._solvers = {}
         self._init_jit = None
+        if use_pallas not in ("auto", "off", "on", "interpret"):
+            raise ValueError(f"use_pallas={use_pallas!r}: "
+                             "auto|off|on|interpret")
+        self.use_pallas = use_pallas
 
     # -- parameter init ---------------------------------------------------
 
@@ -251,20 +264,76 @@ class SqueezeNextODE:
             self._solvers[key] = ode
         return ode
 
+    def _fused_meta(self, mod, shape, dtype):
+        """fused-kernel meta for this stage, or None (gated off).
+
+        Gate: mode off, pallas unavailable, or the backward kernel's
+        estimated resident set beyond the raised VMEM limit
+        (ops/vmem.py — at CIFAR shapes stage 1 (c=32@32x32, b128)
+        exceeds it and keeps the XLA path; stages 2-3 fuse)."""
+        if self.use_pallas == "off":
+            return None
+        from ..ops import fused_sqnxt as fs
+        from ..ops.vmem import vmem_limit_bytes
+
+        interp = self.use_pallas == "interpret"
+        if not fs.fused_sqnxt_available(interp):
+            return None
+        B, H, W, C = shape
+        meta = fs.make_meta(mod.dim, B, H, W, dtype, interpret=interp)
+        if (self.use_pallas == "auto"
+                and fs.vmem_estimate_bytes(meta) > vmem_limit_bytes()):
+            return None
+        return meta
+
+    def _ode_solver_fused(self, mod, meta, dtype):
+        from ..ops import fused_sqnxt as fs
+
+        key = ("fused", repr(mod), meta, str(dtype))
+        ode = self._solvers.get(key)
+        if ode is None:
+            ode = self._ODESolver()
+            ode.setupTS(
+                jnp.zeros((meta.cdims[0], meta.n_pad), dtype),
+                ((lambda t, y, p, m=meta: fs.fused_sqnxt_dyn(y, p, m)),
+                 {}),
+                step_size=self.step_size,
+                method=self.method,
+                enable_adjoint=self.enable_adjoint,
+            )
+            self._solvers[key] = ode
+        return ode
+
     def apply(self, params, x, training: bool = True):
         import numpy as np
 
         h = x
         t_out = np.array([self.t1])  # single output time (ODEBlock_PNODE:119)
+        cn_meta = None  # non-None while h rides the fused (C, N) layout
+        nhwc = None  # the (B, H, W, C) shape h had before to_cn
+        from ..ops import fused_sqnxt as fs
+
         for p, (kind, mod) in zip(params, self.pieces):
             if kind == "ode":
-                ode = self._ode_solver(mod, h.shape, h.dtype)
+                meta = (cn_meta if cn_meta is not None
+                        else self._fused_meta(mod, h.shape, h.dtype))
+                if meta is not None:
+                    if cn_meta is None:
+                        nhwc = h.shape
+                        h = fs.to_cn(h, meta)
+                        cn_meta = meta
+                    ode = self._ode_solver_fused(mod, meta, h.dtype)
+                else:
+                    ode = self._ode_solver(mod, h.shape, h.dtype)
                 sol, _ = ode.solve(
                     h, t_out, params=p,
                     with_adjoint=training and self.enable_adjoint,
                 )
                 h = sol[-1]
             else:
+                if cn_meta is not None:
+                    h = fs.from_cn(h, nhwc[0], nhwc[1], nhwc[2])
+                    cn_meta = None
                 h = mod.apply(p, h)
         return h
 

@@ -158,6 +158,52 @@ def test_bf16_path():
         assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
 
 
+def test_model_integration_fused_vs_xla():
+    """SqueezeNextODE(use_pallas='interpret') == use_pallas='off':
+    logits and parameter gradients through the full model (ODE solves on
+    the (C, N) layout with per-stage layout conversion)."""
+    from pnode_tpu.models.sqnxt import SqueezeNextODE
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype("float32"))
+    y = jnp.asarray(rng.integers(0, 10, size=(2,)))
+
+    def build(mode):
+        return SqueezeNextODE(num_classes=10, width_x=0.5, method="euler",
+                              Nt=1, use_pallas=mode)
+
+    m_off = build("off")
+    m_fus = build("interpret")
+    params = m_off.init(jax.random.PRNGKey(0), x)
+
+    def loss(model, p):
+        logits = model.apply(p, x, training=True)
+        one = jax.nn.one_hot(y, 10)
+        return -jnp.mean(jnp.sum(one * jax.nn.log_softmax(logits), -1))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m_off, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m_fus, p))(params)
+    # per-eval kernel-vs-flax noise is ~3e-6 relative (the per-kernel
+    # tests above); 17 sequential ODE blocks compound it to ~1e-4
+    np.testing.assert_allclose(float(l1), float(l0), rtol=5e-4)
+    # elementwise gradient comparison is MEANINGLESS here: this tiny
+    # B=2 17-norm-chained configuration is chaotically conditioned —
+    # a 1e-6 relative PARAMETER perturbation moves the XLA path's own
+    # gradient by 14.5% relative L2 (measured; relu flips + batch-stat
+    # feedback). The fused path lands at the same conditioning floor
+    # (14.9%), so assert direction + magnitude instead; the tight
+    # elementwise checks live in the per-eval/per-solve tests above.
+    v0 = jnp.concatenate([jnp.ravel(t)
+                          for t in jax.tree_util.tree_leaves(g0)])
+    v1 = jnp.concatenate([jnp.ravel(t)
+                          for t in jax.tree_util.tree_leaves(g1)])
+    cos = float(jnp.vdot(v0, v1)
+                / (jnp.linalg.norm(v0) * jnp.linalg.norm(v1)))
+    ratio = float(jnp.linalg.norm(v1) / jnp.linalg.norm(v0))
+    assert cos > 0.98, cos
+    assert 0.9 < ratio < 1.1, ratio
+
+
 def test_vmem_estimate_monotone():
     m1 = fs.make_meta(32, 128, 32, 32, jnp.bfloat16)
     m2 = fs.make_meta(128, 128, 8, 8, jnp.bfloat16)
