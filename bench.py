@@ -640,6 +640,7 @@ def bench_cifar(args):
     model = SqueezeNextODE(
         num_classes=10, width_x=1.0, method=args.cifar_method,
         Nt=args.cifar_nt, dtype=args.cifar_dtype,
+        use_pallas="off" if args.no_pallas else "auto",
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 32, 32, 3)).astype("float32"))

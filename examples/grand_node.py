@@ -52,6 +52,9 @@ parser.add_argument("--beltrami", action="store_true",
 parser.add_argument("--pos_enc_dim", type=int, default=16)
 parser.add_argument("--pos_enc_hidden", type=int, default=16)
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--split", type=int, default=0,
+                    help="heterophilic datasets: which of the 10 "
+                         "public Geom-GCN splits to use")
 parser.add_argument("--train_dir", type=str, default="./train_results_grand")
 parser.add_argument("--cpu", action="store_true")
 args = init_flags(parser)
@@ -71,19 +74,29 @@ from pnode_tpu.models.grand import (
     gdc_rewiring,
     get_rw_adj,
     laplacian_positional_encoding,
+    load_heterophilic,
     load_planetoid,
     synthetic_sbm,
     two_hop,
 )
+
+HETEROPHILIC = ("cornell", "texas", "wisconsin", "chameleon", "squirrel",
+                "film", "actor")
 from pnode_tpu.utils import Recorder, makedirs
 
 
 def main():
     if args.dataset != "synthetic":
         try:
-            data = load_planetoid(args.data_dir, args.dataset)
-            print(f"loaded planetoid {args.dataset!r}: "
-                  f"{data['x'].shape[0]} nodes")
+            if args.dataset in HETEROPHILIC:
+                data = load_heterophilic(args.data_dir, args.dataset,
+                                         split=args.split)
+                print(f"loaded heterophilic {args.dataset!r}: "
+                      f"{data['x'].shape[0]} nodes")
+            else:
+                data = load_planetoid(args.data_dir, args.dataset)
+                print(f"loaded planetoid {args.dataset!r}: "
+                      f"{data['x'].shape[0]} nodes")
         except (FileNotFoundError, OSError):
             print(f"dataset {args.dataset!r} files not found in "
                   f"{args.data_dir}; using the SBM surrogate")

@@ -44,6 +44,9 @@ parser.add_argument("--precision", type=str, default="f32",
                     help="activation/ODE-state dtype; params, norm stats, "
                          "logits and optimizer state stay f32")
 parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--use_pallas", type=str, default="auto",
+                    choices=["auto", "off", "on", "interpret"],
+                    help="fused ODE-dynamics kernel (ops/fused_sqnxt.py)")
 args = init_flags(parser)
 
 import jax
@@ -122,7 +125,7 @@ def main():
 
     model = SqueezeNextODE(
         num_classes=10, width_x=args.width_x, method=args.method, Nt=args.Nt,
-        t1=args.t1, dtype=args.precision,
+        t1=args.t1, dtype=args.precision, use_pallas=args.use_pallas,
     )
     x0 = jnp.asarray(x_tr[: args.batch_size])
     params = model.init(jax.random.PRNGKey(args.seed), x0)

@@ -568,3 +568,65 @@ def load_planetoid(data_dir, name="cora"):
         "val_mask": val_mask,
         "test_mask": test_mask,
     }
+
+
+def load_heterophilic(data_dir, name="cornell", split=0):
+    """Geom-GCN raw-file loader for the heterophilic benchmarks the
+    reference vendors (grand/src/heterophilic.py Actor/WebKB/
+    WikipediaNetwork — cornell, texas, wisconsin, chameleon, squirrel,
+    film/actor).
+
+    File format (graphdml-uiuc-jlu/geom-gcn raw dumps):
+    - ``out1_node_feature_label.txt``: header line, then
+      ``node_id <TAB> f1,f2,... <TAB> label``. For ``film`` the feature
+      field lists the ACTIVE keyword indices (multi-hot into 932 dims,
+      heterophilic.py:76-90); all other datasets store the dense vector.
+    - ``out1_graph_edges.txt``: header line, then ``src <TAB> dst`` rows;
+      edges are made undirected, self-loops dropped, duplicates merged
+      (to_undirected + coalesce, heterophilic.py:95-99,214-218).
+    - ``<name>_split_0.6_0.2_<i>.npz`` with train/val/test masks
+      (10 public splits; ``split`` picks one).
+
+    Returns the synthetic_sbm dict schema. FileNotFoundError when absent
+    (callers fall back to the SBM surrogate offline).
+    """
+    import os
+
+    base = os.path.join(data_dir, name)
+    fl = os.path.join(base, "out1_node_feature_label.txt")
+    ge = os.path.join(base, "out1_graph_edges.txt")
+    with open(fl) as f:
+        lines = [ln.rstrip("\n") for ln in f][1:]
+    n = len(lines)
+    labels = np.zeros(n, np.int32)
+    if name in ("film", "actor"):
+        feats = np.zeros((n, 932), np.float32)
+        for ln in lines:
+            nid, fstr, lab = ln.split("\t")
+            feats[int(nid), [int(i) for i in fstr.split(",")]] = 1.0
+            labels[int(nid)] = int(lab)
+    else:
+        rows = [None] * n
+        for ln in lines:
+            nid, fstr, lab = ln.split("\t")
+            rows[int(nid)] = np.asarray(
+                [float(v) for v in fstr.split(",")], np.float32)
+            labels[int(nid)] = int(lab)
+        feats = np.stack(rows)
+    with open(ge) as f:
+        pairs = np.asarray(
+            [[int(a) for a in ln.split()] for ln in f.read().split("\n")[1:]
+             if ln.strip()], np.int64).T
+    und = np.concatenate([pairs, pairs[::-1]], axis=1)
+    und = und[:, und[0] != und[1]]  # drop self loops
+    und = np.unique(und, axis=1)    # coalesce duplicates
+    sp = np.load(os.path.join(
+        base, f"{name}_split_0.6_0.2_{int(split)}.npz"))
+    return {
+        "x": feats,
+        "y": labels,
+        "edge_index": und,
+        "train_mask": np.asarray(sp["train_mask"], bool),
+        "val_mask": np.asarray(sp["val_mask"], bool),
+        "test_mask": np.asarray(sp["test_mask"], bool),
+    }

@@ -123,3 +123,65 @@ def test_planetoid_loader_citeseer_gapped_index(tmp_path):
     np.testing.assert_array_equal(data["x"][base + 1], np.zeros(f))
     assert data["test_mask"].sum() == n_test
     assert not data["test_mask"][base + 1]
+
+
+def _write_heterophilic(base, feats_field, labels, edges):
+    os.makedirs(base, exist_ok=True)
+    with open(os.path.join(base, "out1_node_feature_label.txt"), "w") as f:
+        f.write("node_id\tfeature\tlabel\n")
+        for i, (fs, lab) in enumerate(zip(feats_field, labels)):
+            f.write(f"{i}\t{fs}\t{lab}\n")
+    with open(os.path.join(base, "out1_graph_edges.txt"), "w") as f:
+        f.write("src\tdst\n")
+        for a, b in edges:
+            f.write(f"{a}\t{b}\n")
+
+
+def test_heterophilic_loader_dense(tmp_path):
+    """Geom-GCN raw dump round-trip: dense features, undirected coalesce,
+    self-loop drop, split masks (reference heterophilic.py WebKB)."""
+    from pnode_tpu.models.grand import load_heterophilic
+
+    n, f = 5, 3
+    rng = np.random.default_rng(2)
+    feats = rng.normal(size=(n, f)).astype(np.float32)
+    labels = rng.integers(0, 2, n)
+    field = [",".join(f"{v:.6f}" for v in row) for row in feats]
+    # duplicate edge (0,1)+(1,0) and a self loop (2,2)
+    _write_heterophilic(str(tmp_path / "cornell"), field, labels,
+                        [(0, 1), (1, 0), (2, 2), (3, 4)])
+    tr = np.zeros(n, bool); tr[:3] = True
+    va = np.zeros(n, bool); va[3] = True
+    te = np.zeros(n, bool); te[4] = True
+    np.savez(tmp_path / "cornell" / "cornell_split_0.6_0.2_0.npz",
+             train_mask=tr, val_mask=va, test_mask=te)
+
+    d = load_heterophilic(str(tmp_path), "cornell", split=0)
+    np.testing.assert_allclose(d["x"], feats, rtol=1e-5)
+    np.testing.assert_array_equal(d["y"], labels)
+    ei = d["edge_index"]
+    assert ei.shape == (2, 4)  # {0-1,1-0,3-4,4-3}: coalesced, no self loop
+    assert not np.any(ei[0] == ei[1])
+    pairs = set(map(tuple, ei.T.tolist()))
+    assert pairs == {(0, 1), (1, 0), (3, 4), (4, 3)}
+    np.testing.assert_array_equal(d["train_mask"], tr)
+    np.testing.assert_array_equal(d["test_mask"], te)
+
+
+def test_heterophilic_loader_film_multihot(tmp_path):
+    """film/actor stores ACTIVE keyword indices -> 932-dim multi-hot
+    (reference heterophilic.py:76-90)."""
+    from pnode_tpu.models.grand import load_heterophilic
+
+    field = ["0,5,931", "7"]
+    _write_heterophilic(str(tmp_path / "film"), field, [1, 3],
+                        [(0, 1)])
+    tr = np.array([True, False]); te = ~tr
+    np.savez(tmp_path / "film" / "film_split_0.6_0.2_3.npz",
+             train_mask=tr, val_mask=np.zeros(2, bool), test_mask=te)
+
+    d = load_heterophilic(str(tmp_path), "film", split=3)
+    assert d["x"].shape == (2, 932)
+    assert d["x"][0, [0, 5, 931]].tolist() == [1.0, 1.0, 1.0]
+    assert d["x"].sum() == 4.0
+    np.testing.assert_array_equal(d["y"], [1, 3])
