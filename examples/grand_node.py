@@ -24,9 +24,18 @@ parser = argparse.ArgumentParser("grand")
 parser.add_argument("--dataset", type=str, default="synthetic")
 parser.add_argument("--data_dir", type=str, default="./data/planetoid")
 parser.add_argument("--function", type=str, default="laplacian",
-                    choices=["laplacian", "transformer", "gat"])
+                    choices=["laplacian", "transformer", "gat", "hbnode"])
 parser.add_argument("--block", type=str, default="pnode",
-                    choices=["pnode", "imex"])
+                    choices=["pnode", "imex", "hard_att", "heavyball"])
+parser.add_argument("--att_samp_pct", type=float, default=1.0,
+                    help="hard_att block: fraction of edges kept per "
+                         "training solve (quantile threshold on the "
+                         "head-mean attention)")
+parser.add_argument("--use_flux", action="store_true",
+                    help="hard_att block: weight the sampling score by "
+                         "||h_src - h_dst||")
+parser.add_argument("--attention_norm_idx", type=int, default=0,
+                    choices=[0, 1])
 parser.add_argument("--hidden_dim", type=int, default=64)
 parser.add_argument("--heads", type=int, default=4)
 parser.add_argument("--time", type=float, default=3.0)
@@ -132,6 +141,8 @@ def main():
         input_dropout=args.input_dropout, dropout=args.dropout,
         pos_dim=args.pos_enc_dim if args.beltrami else 0,
         pos_hidden=args.pos_enc_hidden,
+        att_samp_pct=args.att_samp_pct, use_flux=args.use_flux,
+        attention_norm_idx=args.attention_norm_idx,
     )
     x = jnp.asarray(data["x"])
     y = jnp.asarray(data["y"])

@@ -247,14 +247,19 @@ class GATFunc(nn.Module):
 
 
 class LaplacianFunc(nn.Module):
-    """du/dt = alpha (A u - u) + beta u0 with fixed rw adjacency."""
+    """du/dt = alpha (A u - u) + beta u0 with fixed rw adjacency.
+
+    ``att_w`` overrides the adjacency's edge weights — the hard-attention
+    block's operating mode (reference function_laplacian_diffusion.py
+    sparse_multiply: block "hard_attention" substitutes
+    ``self.attention_weights`` for ``self.edge_weight``)."""
 
     hidden_dim: int
     add_source: bool = True
     no_alpha_sigmoid: bool = False
 
     @nn.compact
-    def __call__(self, t, x, graph: Graph, x0):
+    def __call__(self, t, x, graph: Graph, x0, att_w=None):
         alpha_train = self.param(
             "alpha_train", nn.initializers.ones, (), x.dtype
         )
@@ -262,7 +267,7 @@ class LaplacianFunc(nn.Module):
             "beta_train", nn.initializers.ones, (), x.dtype
         )
         alpha = alpha_train if self.no_alpha_sigmoid else nn.sigmoid(alpha_train)
-        ax = spmm(graph, graph.edge_weight, x)
+        ax = spmm(graph, graph.edge_weight if att_w is None else att_w, x)
         f = alpha * (ax - x)
         if self.add_source:
             f = f + beta_train * x0
@@ -295,15 +300,74 @@ class AttentionFunc(nn.Module):
         return f
 
 
+class HeavyBallFunc(nn.Module):
+    """Heavy-ball NODE dynamics (reference function_hbnode.py, which wraps
+    the external HeavyBallNODE package's `HeavyBallNODE(net, corr=0,
+    corrf=True)`): momentum-augmented state (h, m) stacked on axis 1,
+
+        dh/dt = -m
+        dm/dt = net(h) - sigmoid(gamma) m + softplus(corr) h
+
+    with gamma trainable (init -3) and corr FROZEN at the constructor
+    value (corrf=True), and net = dense/tanh/dense/tanh/dense
+    (function_hbnode.py `net`). Note the function is graph-free — the
+    reference's hbnode net never touches edge_index; the graph only
+    shapes the encoder/decoder around the block."""
+
+    hidden_dim: int
+    gamma_guess: float = -3.0
+    corr: float = 0.0
+
+    @nn.compact
+    def __call__(self, t, x, graph: Graph, x0):
+        h, m = x[:, 0], x[:, 1]
+        d = self.hidden_dim
+        out = nn.tanh(nn.Dense(d)(h))
+        out = nn.tanh(nn.Dense(d)(out))
+        out = nn.Dense(d)(out)
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.gamma_guess), (), x.dtype)
+        dh = -m
+        dm = (out - nn.sigmoid(gamma) * m
+              + jax.nn.softplus(jnp.asarray(self.corr, x.dtype)) * h)
+        return jnp.stack([dh, dm], axis=1)
+
+
+def hard_attention_weights(mean_att, edge_index, num_nodes, samp_pct,
+                           norm_idx=0):
+    """Quantile-sampled, renormalized attention for the hard-attention
+    block (block_transformer_hard_attention.py:86-107 forward +
+    renormalise_attention).
+
+    TPU-first: the reference slices the edge list to the surviving edges
+    (dynamic shape); here dropped edges keep their slot with weight 0 —
+    spmm over zero-weight edges is identical to removing them, and the
+    static edge count keeps the solve compilable once.
+    """
+    thr = jnp.quantile(mean_att, 1.0 - samp_pct)
+    w = jnp.where(mean_att > thr, mean_att, 0.0)
+    seg = edge_index[norm_idx]
+    sums = jax.ops.segment_sum(w, seg, num_nodes)
+    return w / (sums[seg] + 1e-16)
+
+
 class GRANDModel:
     """Encoder -> GRAND ODE block -> decoder (GNN.py:9-80 + base_classes).
 
     Functional API:
         model = GRANDModel(graph, in_dim, hidden_dim, n_classes,
                            function="laplacian"|"transformer",
-                           block="pnode"|"imex", T=1.0, step_size=0.25)
+                           block="pnode"|"imex"|"hard_att", T=1.0,
+                           step_size=0.25)
         params = model.init(key, x)
         logits = model.apply(params, x, training=True, rng=dropout_key)
+
+    ``block="hard_att"`` rebuilds HardAttODEblock: multi-head transformer
+    attention evaluated ONCE on the encoded state, its head-mean quantile-
+    thresholded at ``att_samp_pct`` (training only; optionally flux-
+    weighted by ||h_src − h_dst||), renormalized over the surviving
+    edges, and frozen (stop_gradient — the reference computes the sampled
+    weights under torch.no_grad) as the diffusion operator for the solve.
     """
 
     def __init__(
@@ -323,6 +387,9 @@ class GRANDModel:
         add_source: bool = True,
         pos_dim: int = 0,
         pos_hidden: int = 16,
+        att_samp_pct: float = 1.0,
+        use_flux: bool = False,
+        attention_norm_idx: int = 0,
     ):
         from ..solver import ODESolver
 
@@ -356,10 +423,41 @@ class GRANDModel:
         elif function == "transformer":
             self.func = AttentionFunc(hidden_dim, heads=heads,
                                       add_source=add_source)
+        elif function == "hbnode":
+            # block "heavyball" pairing (model_configurations.py:34-35,
+            # 53-54): momentum-augmented (h, m) state, m(0) = 0
+            if block not in ("pnode", "heavyball"):
+                raise ValueError(
+                    "function='hbnode' integrates the stacked (h, m) "
+                    "state explicitly; use block='pnode'|'heavyball'")
+            self.func = HeavyBallFunc(hidden_dim)
         else:
             raise ValueError(
                 f"unknown GRAND function {function!r} "
-                "(choose laplacian | transformer | gat)")
+                "(choose laplacian | transformer | gat | hbnode)")
+        self._heavyball = function == "hbnode"
+        if block == "heavyball":
+            self.block = block = "pnode"  # same explicit solve; only the
+            # state shape differs (handled by _heavyball)
+        if block == "hard_att":
+            if not 0.0 < att_samp_pct <= 1.0:
+                raise ValueError(
+                    "attention sampling threshold must be in (0,1]")
+            if function != "laplacian":
+                raise ValueError(
+                    "block='hard_att' diffuses with the sampled attention "
+                    "as a FIXED operator (laplacian form); use "
+                    "function='laplacian'")
+            # the dedicated sampling layer the block creates when the
+            # function is not already attention-based
+            # (block_transformer_hard_attention.py:62-70)
+            self.hard_att = TransAttention(
+                hidden_dim, heads=heads, norm_idx=attention_norm_idx)
+        else:
+            self.hard_att = None
+        self.att_samp_pct = float(att_samp_pct)
+        self.use_flux = bool(use_flux)
+        self.attention_norm_idx = int(attention_norm_idx)
         self._ODESolver = ODESolver
         self.method = method
         self.step_size = step_size
@@ -368,16 +466,37 @@ class GRANDModel:
     def init(self, key, x, pos_encoding=None):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         h = jnp.zeros((x.shape[0], self.hidden), x.dtype)
+        hf = (jnp.zeros((x.shape[0], 2, self.hidden), x.dtype)
+              if self._heavyball else h)
         params = {
             "enc": self.enc.init(k1, x),
-            "func": self.func.init(k2, 0.0, h, self.graph, h),
+            "func": self.func.init(k2, 0.0, hf, self.graph, h),
             "dec": self.dec.init(k3, h),
         }
         if self.pos_dim:
             if pos_encoding is None:
                 raise ValueError("beltrami mode needs pos_encoding")
             params["enc_pos"] = self.enc_pos.init(k4, pos_encoding)
+        if self.hard_att is not None:
+            params["hard_att"] = self.hard_att.init(
+                jax.random.fold_in(k4, 1), h, self.graph)
         return params
+
+    def _hard_att_weights(self, params, h0, training):
+        """Per-edge diffusion weights for block="hard_att" (frozen for
+        the solve; eval uses the unthresholded head mean, forward():108-111).
+        """
+        att = self.hard_att.apply(params["hard_att"], h0, self.graph)
+        mean_att = jnp.mean(att, axis=1)
+        if training:
+            if self.use_flux:
+                src, dst = self.graph.edge_index
+                delta = jnp.linalg.norm(h0[src] - h0[dst], axis=1)
+                mean_att = mean_att * delta
+            mean_att = hard_attention_weights(
+                mean_att, self.graph.edge_index, self.graph.num_nodes,
+                self.att_samp_pct, self.attention_norm_idx)
+        return jax.lax.stop_gradient(mean_att)
 
     def _encode(self, params, x, pos_encoding):
         h = self.enc.apply(params["enc"], x)
@@ -410,6 +529,18 @@ class GRANDModel:
                     step_size=self.step_size, method="imex", imex_form=True,
                     implicit_form=True, enable_adjoint=training,
                 )
+            elif self.block == "hard_att":
+                def f(t, y, p):
+                    x0 = jax.lax.stop_gradient(p["x0"])
+                    return self.func.apply(
+                        p["func"], t, y, self.graph, x0,
+                        att_w=jax.lax.stop_gradient(p["att_w"]))
+
+                ode.setupTS(
+                    jnp.zeros(shape, dtype), (f, {}),
+                    step_size=self.step_size, method=self.method,
+                    enable_adjoint=training,
+                )
             else:
                 def f(t, y, p):
                     x0 = jax.lax.stop_gradient(p["x0"])
@@ -435,12 +566,18 @@ class GRANDModel:
         import numpy as np_
 
         h0 = self._encode(params, x, pos_encoding)
-        ode = self._get_solver(h0.shape, h0.dtype, False)
+        y0 = (jnp.stack([h0, jnp.zeros_like(h0)], axis=1)
+              if self._heavyball else h0)
+        ode = self._get_solver(y0.shape, y0.dtype, False)
         p = {"func": params["func"], "x0": h0}
+        if self.hard_att is not None:
+            p["att_w"] = self._hard_att_weights(params, h0, False)
         if self.block == "imex":
             p = (p, p)
         t_out = np_.asarray(times, dtype=np_.float64)
-        sol, _ = ode.solve(h0, t_out, params=p, with_adjoint=False)
+        sol, _ = ode.solve(y0, t_out, params=p, with_adjoint=False)
+        if self._heavyball:
+            sol = sol[:, :, 0]
         return jax.vmap(lambda h: self.dec.apply(params["dec"], h))(sol)
 
     def apply(self, params, x, training: bool = True, rng=None,
@@ -451,13 +588,17 @@ class GRANDModel:
                 k1, 1 - self.input_dropout, x.shape
             ) / (1 - self.input_dropout)
         h0 = self._encode(params, x, pos_encoding)
-        ode = self._get_solver(h0.shape, h0.dtype, training)
+        y0 = (jnp.stack([h0, jnp.zeros_like(h0)], axis=1)
+              if self._heavyball else h0)
+        ode = self._get_solver(y0.shape, y0.dtype, training)
         p = {"func": params["func"], "x0": h0}
+        if self.hard_att is not None:
+            p["att_w"] = self._hard_att_weights(params, h0, training)
         if self.block == "imex":
             p = (p, p)
         t_out = np.array([0.0, self.T])
-        sol, _ = ode.solve(h0, t_out, params=p, with_adjoint=training)
-        h = sol[-1]
+        sol, _ = ode.solve(y0, t_out, params=p, with_adjoint=training)
+        h = sol[-1][:, 0] if self._heavyball else sol[-1]
         if training and rng is not None:
             h = h * jax.random.bernoulli(k2, 1 - self.dropout, h.shape) / (
                 1 - self.dropout

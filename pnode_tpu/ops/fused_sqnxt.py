@@ -229,7 +229,10 @@ def _bwd_kernel(meta, x_ref, g_ref, *refs):
         zf = z_d.astype(jnp.float32)
         zh = (zf - m) / sr
         a_d = (zh * gam + bet).astype(dt)
-        g_a = jnp.where(a_d > 0, g, 0).astype(jnp.float32)
+        # relu mask on the f32 upcast (exact): v5e Mosaic rejects
+        # vector cmpf on bf16 ("Target does not support this comparison")
+        g_a = jnp.where(a_d.astype(jnp.float32) > 0, g, 0).astype(
+            jnp.float32)
         if valid is not None:
             g_a = g_a * valid
         d_gam = jnp.sum(g_a * zh, axis=1, keepdims=True)

@@ -313,3 +313,110 @@ def test_batch_stats_norm_single_pass_matches_centered():
                                rtol=0, atol=5e-5)
     # and the default gate picks the centered pass for this small input
     assert x.size < BatchStatsNorm().single_pass_min_size
+
+
+def test_grand_hard_attention_block():
+    """hard_att block (block_transformer_hard_attention.py): the sampled
+    weights keep ~att_samp_pct of edges (quantile threshold on the head
+    mean), renormalize to 1 over each surviving node's incidences, carry
+    no gradient into the attention layer, and the model trains."""
+    import optax
+
+    from pnode_tpu.models.grand import GRANDModel
+
+    data = synthetic_sbm(n_nodes=60, n_classes=3, feat_dim=8, seed=6)
+    g = get_rw_adj(data["edge_index"], 60)
+    model = GRANDModel(g, 8, 16, 3, function="laplacian", block="hard_att",
+                       T=1.0, step_size=0.5, method="rk4",
+                       att_samp_pct=0.6)
+    x = jnp.asarray(data["x"])
+    y = jnp.asarray(data["y"])
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    # sampling invariants on the training-mode weights
+    h0 = model.enc.apply(params["enc"], x)
+    w = np.asarray(model._hard_att_weights(params, h0, True))
+    E = g.edge_index.shape[1]
+    kept = (w > 0).sum()
+    assert 0.4 * E < kept < 0.75 * E  # ~60% survive the 0.4-quantile
+    seg = np.asarray(g.edge_index[0])
+    sums = np.zeros(60)
+    np.add.at(sums, seg, w)
+    touched = np.unique(seg[w > 0])
+    np.testing.assert_allclose(sums[touched], 1.0, rtol=1e-5)
+
+    # eval mode: unthresholded head-mean attention (all edges positive)
+    w_ev = np.asarray(model._hard_att_weights(params, h0, False))
+    assert (w_ev > 0).all()
+
+    opt = optax.adam(1e-2)
+    s = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss(pp):
+            logits = model.apply(pp, x, training=True,
+                                 rng=jax.random.PRNGKey(0))
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            )
+
+        l, grad = jax.value_and_grad(loss)(p)
+        u, s2 = opt.update(grad, s)
+        return optax.apply_updates(p, u), s2, l, grad
+
+    p, s, l0, grad = step(params, s)
+    # the attention layer is frozen during the solve (torch.no_grad in
+    # the reference) -> zero gradient
+    att_g = jax.tree_util.tree_leaves(grad["hard_att"])
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in att_g)
+    for _ in range(15):
+        p, s, l, _ = step(p, s)
+    assert float(l) < float(l0)
+
+
+def test_grand_heavyball_hbnode():
+    """function=hbnode / block=heavyball (function_hbnode.py +
+    block_heavyball.py): momentum-augmented (h, m) state with m(0)=0,
+    dh/dt=-m, dm/dt=net(h)-sigmoid(gamma)m+softplus(corr)h; the decoder
+    reads the h component at tf; the SBM surrogate trains."""
+    import optax
+
+    from pnode_tpu.models.grand import GRANDModel, HeavyBallFunc
+
+    data = synthetic_sbm(n_nodes=60, n_classes=3, feat_dim=8, seed=7)
+    g = get_rw_adj(data["edge_index"], 60)
+    model = GRANDModel(g, 8, 16, 3, function="hbnode", block="heavyball",
+                       T=1.0, step_size=0.5, method="rk4")
+    x = jnp.asarray(data["x"])
+    y = jnp.asarray(data["y"])
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    # dynamics invariants at m=0: dh/dt = 0, dm/dt = net(h) + sp(0) h
+    h = jnp.asarray(np.random.default_rng(1).normal(
+        size=(60, 16)).astype("float32"))
+    st = jnp.stack([h, jnp.zeros_like(h)], axis=1)
+    f = model.func.apply(params["func"], 0.0, st, g, h)
+    np.testing.assert_allclose(np.asarray(f[:, 0]), 0.0, atol=1e-7)
+    assert np.abs(np.asarray(f[:, 1])).max() > 0
+
+    opt = optax.adam(1e-2)
+    s = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss(pp):
+            logits = model.apply(pp, x, training=True,
+                                 rng=jax.random.PRNGKey(0))
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            )
+
+        l, grad = jax.value_and_grad(loss)(p)
+        u, s2 = opt.update(grad, s)
+        return optax.apply_updates(p, u), s2, l
+
+    p, s, l0 = step(params, s)
+    for _ in range(15):
+        p, s, l = step(p, s)
+    assert float(l) < float(l0)
