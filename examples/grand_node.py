@@ -24,7 +24,10 @@ parser = argparse.ArgumentParser("grand")
 parser.add_argument("--dataset", type=str, default="synthetic")
 parser.add_argument("--data_dir", type=str, default="./data/planetoid")
 parser.add_argument("--function", type=str, default="laplacian",
-                    choices=["laplacian", "transformer", "gat", "hbnode"])
+                    choices=["laplacian", "transformer", "gat", "hbnode",
+                             "cgnn"])
+parser.add_argument("--cgnn_alpha", type=float, default=1.0,
+                    help="cgnn: per-node alpha_train init (CGNN.py)")
 parser.add_argument("--block", type=str, default="pnode",
                     choices=["pnode", "imex", "hard_att", "heavyball"])
 parser.add_argument("--att_samp_pct", type=float, default=1.0,
@@ -81,6 +84,7 @@ from pnode_tpu.models.grand import (
     GRANDModel,
     Graph,
     gdc_rewiring,
+    gcn_norm_adj,
     get_rw_adj,
     laplacian_positional_encoding,
     load_heterophilic,
@@ -124,6 +128,10 @@ def main():
         print(f"gdc rewiring: {data['edge_index'].shape[1]} -> "
               f"{edge_index.shape[1]} edges")
         graph = Graph(jnp.asarray(edge_index), jnp.asarray(ew), n)
+    elif args.function == "cgnn":
+        # the CGNN baseline diffuses on the SYM-normalized adjacency
+        # (CGNN.py:295 gcn_norm_fill_val), not GRAND's rw normalization
+        graph = gcn_norm_adj(edge_index, n, self_loop_weight=1.0)
     else:
         graph = get_rw_adj(edge_index, n, self_loop_weight=1.0)
     pos_enc = None
@@ -143,6 +151,7 @@ def main():
         pos_hidden=args.pos_enc_hidden,
         att_samp_pct=args.att_samp_pct, use_flux=args.use_flux,
         attention_norm_idx=args.attention_norm_idx,
+        cgnn_alpha=args.cgnn_alpha,
     )
     x = jnp.asarray(data["x"])
     y = jnp.asarray(data["y"])

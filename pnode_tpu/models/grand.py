@@ -55,6 +55,23 @@ def get_rw_adj(edge_index, num_nodes, self_loop_weight=1.0):
     return Graph(jnp.asarray(ei), jnp.asarray(w), num_nodes)
 
 
+def gcn_norm_adj(edge_index, num_nodes, self_loop_weight=1.0):
+    """Symmetrically-normalized adjacency D^-1/2 (A + w I) D^-1/2 (the
+    CGNN baseline's operator — grand/src/utils.py:58-79 gcn_norm_fill_val,
+    degree accumulated over the dst column)."""
+    if self_loop_weight:
+        ei, ew = add_self_loops(edge_index, num_nodes, self_loop_weight)
+    else:
+        ei = np.asarray(edge_index)
+        ew = np.ones(ei.shape[1])
+    src, dst = ei
+    deg = np.zeros(num_nodes)
+    np.add.at(deg, dst, ew)
+    dis = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
+    return Graph(jnp.asarray(ei), jnp.asarray(dis[src] * ew * dis[dst]),
+                 num_nodes)
+
+
 def two_hop(edge_index, num_nodes):
     """Add all 2-hop edges (the reference's TwoHop rewiring,
     graph_rewiring.py:60-72 via torch_geometric.transforms.TwoHop). Dense
@@ -333,6 +350,29 @@ class HeavyBallFunc(nn.Module):
         return jnp.stack([dh, dm], axis=1)
 
 
+class CGNNFunc(nn.Module):
+    """Continuous-GNN baseline dynamics (grand/src/CGNN.py:80-100 ODEFunc,
+    re-implementing Xhonneux et al. 2019): on the zero-augmented state
+    x = [h, aux] (feature width 2H),
+
+        dx/dt = sigmoid(alpha)[:, None] * 0.5 * (A x - x) + x0
+
+    with A the gcn-normalized adjacency, alpha a PER-NODE trainable
+    vector initialized at ``alpha_init`` (CGNN.py:91 ``alpha_train``), and
+    x0 the detached augmented initial state (ODEblock.set_x0)."""
+
+    alpha_init: float = 1.0
+
+    @nn.compact
+    def __call__(self, t, x, graph: Graph, x0):
+        alpha_train = self.param(
+            "alpha_train",
+            nn.initializers.constant(self.alpha_init),
+            (graph.num_nodes,), x.dtype)
+        ax = spmm(graph, graph.edge_weight, x)
+        return nn.sigmoid(alpha_train)[:, None] * 0.5 * (ax - x) + x0
+
+
 def hard_attention_weights(mean_att, edge_index, num_nodes, samp_pct,
                            norm_idx=0):
     """Quantile-sampled, renormalized attention for the hard-attention
@@ -390,6 +430,7 @@ class GRANDModel:
         att_samp_pct: float = 1.0,
         use_flux: bool = False,
         attention_norm_idx: int = 0,
+        cgnn_alpha: float = 1.0,
     ):
         from ..solver import ODESolver
 
@@ -431,11 +472,20 @@ class GRANDModel:
                     "function='hbnode' integrates the stacked (h, m) "
                     "state explicitly; use block='pnode'|'heavyball'")
             self.func = HeavyBallFunc(hidden_dim)
+        elif function == "cgnn":
+            # CGNN baseline (CGNN.py:133-180): zero-augmented 2H state,
+            # explicit solve, relu before the decoder
+            if block != "pnode":
+                raise ValueError(
+                    "function='cgnn' is an explicit baseline; use "
+                    "block='pnode'")
+            self.func = CGNNFunc(alpha_init=cgnn_alpha)
         else:
             raise ValueError(
                 f"unknown GRAND function {function!r} "
-                "(choose laplacian | transformer | gat | hbnode)")
+                "(choose laplacian | transformer | gat | hbnode | cgnn)")
         self._heavyball = function == "hbnode"
+        self._cgnn = function == "cgnn"
         if block == "heavyball":
             self.block = block = "pnode"  # same explicit solve; only the
             # state shape differs (handled by _heavyball)
@@ -463,14 +513,34 @@ class GRANDModel:
         self.step_size = step_size
         self._solvers = {}
 
+    def _augment(self, h0):
+        """(solver state y0, dynamics source x0) for the block's state
+        convention: heavy-ball stacks a zero momentum on axis 1; CGNN
+        concatenates zero aux channels (CGNN.py:166-168) and sources the
+        AUGMENTED state."""
+        if self._heavyball:
+            return jnp.stack([h0, jnp.zeros_like(h0)], axis=1), h0
+        if self._cgnn:
+            y0 = jnp.concatenate([h0, jnp.zeros_like(h0)], axis=-1)
+            return y0, y0
+        return h0, h0
+
+    def _readout(self, h_final):
+        """Decoder input from the final solver state (works under a
+        leading time axis too)."""
+        if self._heavyball:
+            return h_final[..., 0, :]
+        if self._cgnn:
+            return nn.relu(h_final[..., : self.hidden])  # CGNN.py:173-176
+        return h_final
+
     def init(self, key, x, pos_encoding=None):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         h = jnp.zeros((x.shape[0], self.hidden), x.dtype)
-        hf = (jnp.zeros((x.shape[0], 2, self.hidden), x.dtype)
-              if self._heavyball else h)
+        hf, x0f = self._augment(h)
         params = {
             "enc": self.enc.init(k1, x),
-            "func": self.func.init(k2, 0.0, hf, self.graph, h),
+            "func": self.func.init(k2, 0.0, hf, self.graph, x0f),
             "dec": self.dec.init(k3, h),
         }
         if self.pos_dim:
@@ -566,18 +636,16 @@ class GRANDModel:
         import numpy as np_
 
         h0 = self._encode(params, x, pos_encoding)
-        y0 = (jnp.stack([h0, jnp.zeros_like(h0)], axis=1)
-              if self._heavyball else h0)
+        y0, x0 = self._augment(h0)
         ode = self._get_solver(y0.shape, y0.dtype, False)
-        p = {"func": params["func"], "x0": h0}
+        p = {"func": params["func"], "x0": x0}
         if self.hard_att is not None:
             p["att_w"] = self._hard_att_weights(params, h0, False)
         if self.block == "imex":
             p = (p, p)
         t_out = np_.asarray(times, dtype=np_.float64)
         sol, _ = ode.solve(y0, t_out, params=p, with_adjoint=False)
-        if self._heavyball:
-            sol = sol[:, :, 0]
+        sol = self._readout(sol)
         return jax.vmap(lambda h: self.dec.apply(params["dec"], h))(sol)
 
     def apply(self, params, x, training: bool = True, rng=None,
@@ -588,17 +656,16 @@ class GRANDModel:
                 k1, 1 - self.input_dropout, x.shape
             ) / (1 - self.input_dropout)
         h0 = self._encode(params, x, pos_encoding)
-        y0 = (jnp.stack([h0, jnp.zeros_like(h0)], axis=1)
-              if self._heavyball else h0)
+        y0, x0 = self._augment(h0)
         ode = self._get_solver(y0.shape, y0.dtype, training)
-        p = {"func": params["func"], "x0": h0}
+        p = {"func": params["func"], "x0": x0}
         if self.hard_att is not None:
             p["att_w"] = self._hard_att_weights(params, h0, training)
         if self.block == "imex":
             p = (p, p)
         t_out = np.array([0.0, self.T])
         sol, _ = ode.solve(y0, t_out, params=p, with_adjoint=training)
-        h = sol[-1][:, 0] if self._heavyball else sol[-1]
+        h = self._readout(sol[-1])
         if training and rng is not None:
             h = h * jax.random.bernoulli(k2, 1 - self.dropout, h.shape) / (
                 1 - self.dropout

@@ -420,3 +420,63 @@ def test_grand_heavyball_hbnode():
     for _ in range(15):
         p, s, l = step(p, s)
     assert float(l) < float(l0)
+
+
+def test_grand_cgnn_baseline():
+    """function=cgnn (CGNN.py ODEFunc + CGNN model): zero-augmented 2H
+    state, dx/dt = sigmoid(alpha)[:,None] 0.5 (Ax - x) + x0 with per-node
+    alpha on the gcn-normalized adjacency, relu before the decoder; the
+    SBM surrogate trains."""
+    import optax
+
+    from pnode_tpu.models.grand import CGNNFunc, GRANDModel, gcn_norm_adj
+
+    data = synthetic_sbm(n_nodes=60, n_classes=3, feat_dim=8, seed=8)
+    g = gcn_norm_adj(data["edge_index"], 60)
+    # sym normalization: edge weights are d_src^-1/2 w d_dst^-1/2 and the
+    # dense operator is symmetric
+    import numpy as np
+
+    A = np.zeros((60, 60))
+    src, dst = np.asarray(g.edge_index)
+    A[src, dst] = np.asarray(g.edge_weight)
+    np.testing.assert_allclose(A, A.T, atol=1e-12)
+
+    model = GRANDModel(g, 8, 16, 3, function="cgnn", block="pnode",
+                       T=1.0, step_size=0.5, method="rk4",
+                       cgnn_alpha=0.9)
+    x = jnp.asarray(data["x"])
+    y = jnp.asarray(data["y"])
+    params = model.init(jax.random.PRNGKey(0), x)
+    # per-node alpha initialized at the constructor constant
+    np.testing.assert_allclose(
+        np.asarray(params["func"]["params"]["alpha_train"]), 0.9)
+
+    # dynamics invariant: at x = 0 (augmented), dx/dt = x0 exactly
+    h = jnp.asarray(np.random.default_rng(2).normal(
+        size=(60, 32)).astype("float32"))
+    f = model.func.apply(params["func"], 0.0, jnp.zeros_like(h), g, h)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(h), rtol=1e-6)
+
+    opt = optax.adam(1e-2)
+    s = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss(pp):
+            logits = model.apply(pp, x, training=True,
+                                 rng=jax.random.PRNGKey(0))
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            )
+
+        l, grad = jax.value_and_grad(loss)(p)
+        u, s2 = opt.update(grad, s)
+        return optax.apply_updates(p, u), s2, l, grad
+
+    p, s, l0, grad = step(params, s)
+    # alpha is trainable (nonzero gradient reaches it)
+    assert float(jnp.abs(grad["func"]["params"]["alpha_train"]).max()) > 0
+    for _ in range(15):
+        p, s, l, _ = step(p, s)
+    assert float(l) < float(l0)
