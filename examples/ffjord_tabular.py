@@ -53,6 +53,15 @@ parser.add_argument("--resume", type=str, default=None)
 parser.add_argument("--evaluate", action="store_true")
 parser.add_argument("--seed", type=int, default=42)
 parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--log_freq", type=int, default=1,
+                    help="fetch the device loss every N iters. The reference "
+                    "logs per-iter on a local GPU (train_tabular.py:303); on "
+                    "the tunneled TPU every device->host fetch costs "
+                    "~30-70 ms, so chip runs should amortize it (e.g. 20).")
+parser.add_argument("--timeit", type=int, default=0,
+                    help="after warmup, time N-iteration windows (5x) and "
+                    "report time/iter + MFU from XLA cost analysis, then "
+                    "exit. 0 = train normally.")
 args = init_flags(parser)
 
 import jax
@@ -158,6 +167,64 @@ def main():
             return float(eval_nll(p, x, jax.random.PRNGKey(seed)))
         return tot / n
 
+    def _nfe_total():
+        # ODESolver counts trace-time NFE (solver.py nfe_forward); each CNF
+        # layer caches its solvers per (shape, mode) key. The delta across
+        # one jit trace IS the per-iteration forward NFE (the reference's
+        # NFE-F meter, train_tabular.py:303-339); the discrete adjoint
+        # replays every accepted step stage-exactly, so NFE-B/iter equals
+        # NFE-F/iter by construction.
+        return sum(
+            int(ode.nfe_forward)
+            for layer in model.layers
+            for ode in getattr(getattr(layer, "cnf", layer),
+                               "_solvers", {}).values()
+        )
+
+    if args.timeit:
+        import statistics
+
+        from pnode_tpu.utils.roofline import roofline
+
+        nfe0 = _nfe_total()
+        t0 = time.time()
+        compiled = train_step.lower(
+            params, opt_state, x_sample, jax.random.PRNGKey(0), lr_scale
+        ).compile()
+        compile_s = time.time() - t0
+        nfe_iter = _nfe_total() - nfe0
+        state = {"p": params, "s": opt_state}
+
+        def step(i):
+            state["p"], state["s"], loss = compiled(
+                state["p"], state["s"], x_sample, jax.random.PRNGKey(i),
+                lr_scale,
+            )
+            return loss
+
+        float(step(0))  # first dispatch + device->host channel warm-up
+        rates = []
+        for w in range(5):
+            t0 = time.time()
+            loss = None
+            for i in range(args.timeit):
+                loss = step(w * args.timeit + i + 1)
+            float(loss)  # fetch = the only real sync on the axon backend
+            rates.append(args.timeit / (time.time() - t0))
+            logger.info(f"window {w}: {rates[-1]:.2f} it/s")
+        med = statistics.median(rates)
+        rf = roofline(compiled, med)
+        mfu = None if rf["mfu"] is None else round(rf["mfu"], 4)
+        logger.info(
+            f"TIMEIT {args.data} D={D} batch={args.batch_size}: "
+            f"{med:.2f} it/s ({1e3 / med:.2f} ms/iter) | "
+            f"NFE-F/iter {nfe_iter} (NFE-B equal: stage-exact replay) | "
+            f"mfu {mfu} hbm_frac {rf['hbm_frac']} "
+            f"flops/iter {rf['flops_per_unit']:.3g} | "
+            f"compile {compile_s:.1f}s | final train NLL {float(loss):.4f}"
+        )
+        return None  # timeit mode: no test NLL to report
+
     writer = MetricsWriter(args.save)
     rng = np.random.default_rng(args.seed)
     time_meter = RunningAverageMeter(0.98)
@@ -172,6 +239,7 @@ def main():
         logger.info(f"test NLL {tst:.6f}")
         return tst
 
+    nfe_before_loop = _nfe_total()
     end = time.time()
     for itr in range(1, args.max_iters + 1):
         if args.early_stopping > 0 and n_vals_without_improvement > args.early_stopping:
@@ -181,9 +249,15 @@ def main():
         params, opt_state, loss = train_step(
             params, opt_state, x, jax.random.PRNGKey(itr), lr_scale
         )
+        if itr % args.log_freq == 0:
+            loss_meter.update(float(loss))
+            writer.add_scalar("Train/NLL", float(loss), itr)
         time_meter.update(time.time() - end)
-        loss_meter.update(float(loss))
-        writer.add_scalar("Train/NLL", float(loss), itr)
+        if itr == 1:
+            logger.info(
+                f"NFE-F/iter {_nfe_total() - nfe_before_loop} (NFE-B equal: "
+                f"the discrete adjoint replays every step stage-exactly)"
+            )
 
         if itr % args.val_freq == 0:
             val = full_nll(params, data.val, bs=args.batch_size)
@@ -230,4 +304,5 @@ def main():
 
 if __name__ == "__main__":
     final = main()
-    print(f"final test NLL {final:.6f}")
+    if final is not None:
+        print(f"final test NLL {final:.6f}")
