@@ -197,35 +197,54 @@ def _fwd_kernel(meta, x_ref, *refs):
 def _bwd_kernel(meta, x_ref, g_ref, *refs):
     """Recompute the chain from x, then backprop stage-exactly.
 
-    refs = params... , dx_ref, dparam refs (same structure as params,
-    all f32).
+    refs = params..., dx_ref, dparam refs (same structure as params, all
+    f32), then 5 VMEM scratch refs (one per-layer conv+bias anchor).
+
+    Liveness: the anchors ride explicit VMEM scratch and the previous
+    layer's activation is RECOMPUTED elementwise from its anchor instead
+    of being kept live — with all six layer inputs + five anchors held in
+    vregs, Mosaic's register allocator spilled 146 MB at the CIFAR
+    stage-1 shape (32 x 131072) and the kernel did not compile. This
+    structure keeps at most one layer's tensors live at a time.
     """
     n_param = sum(len(t) + 3 for t in meta.taps)
     flat = [r[:] for r in refs[:n_param]]
     dx_ref = refs[n_param]
-    drefs = refs[n_param + 1:]
+    drefs = refs[n_param + 1: n_param + 1 + n_param]
+    z_scr = refs[n_param + 1 + n_param:]
     layers = _split_params(flat, meta)
     dt = x_ref.dtype
     masks = _tap_masks(meta, dt)
     valid = _valid_mask(meta, jnp.float32)
 
-    # forward recompute, storing per-layer anchors
-    hs = [x_ref[:]]  # layer inputs
-    zs, ms, srs = [], [], []
+    # forward recompute: anchors to scratch, single live activation
+    ms, srs = [], []
+    h = x_ref[:]
     for li, (Ws, b, gam, bet) in enumerate(layers):
-        z32 = _conv_apply(hs[-1], Ws, meta, li, masks)
-        h, z_d, m, sr = _layer_fwd(hs[-1], z32, b, gam, bet, meta, li,
-                                   valid)
-        hs.append(h)
-        zs.append(z_d)
+        z32 = _conv_apply(h, Ws, meta, li, masks)
+        h, z_d, m, sr = _layer_fwd(h, z32, b, gam, bet, meta, li, valid)
+        z_scr[li][:] = z_d
         ms.append(m)
         srs.append(sr)
+
+    def _act(li):
+        """Layer li's INPUT, recomputed from the (li-1) anchor — exactly
+        _layer_fwd's h_next expression."""
+        if li == 0:
+            return x_ref[:]
+        _, _, gam_p, bet_p = layers[li - 1]
+        zf_p = z_scr[li - 1][:].astype(jnp.float32)
+        a_p = (zf_p - ms[li - 1]) / srs[li - 1] * gam_p + bet_p
+        h_p = jnp.maximum(a_p.astype(dt), 0)
+        if valid is not None:
+            h_p = h_p * valid.astype(dt)
+        return h_p
 
     g = g_ref[:]  # cotangent in activation dtype
     dflat = [None] * n_param
     for li in range(4, -1, -1):
         Ws, b, gam, bet = layers[li]
-        z_d, m, sr = zs[li], ms[li], srs[li]
+        z_d, m, sr = z_scr[li][:], ms[li], srs[li]
         zf = z_d.astype(jnp.float32)
         zh = (zf - m) / sr
         a_d = (zh * gam + bet).astype(dt)
@@ -246,7 +265,7 @@ def _bwd_kernel(meta, x_ref, g_ref, *refs):
             g_z32 = g_z32 * valid
         g_zd = g_z32.astype(dt)
         d_b = jnp.sum(g_zd.astype(jnp.float32), axis=1, keepdims=True)
-        h_prev = hs[li]
+        h_prev = _act(li)
         g_h = None
         d_Ws = []
         for t, s in enumerate(meta.taps[li]):
@@ -337,6 +356,9 @@ def _core_bwd(meta, res, g):
         out_specs=tuple(
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
         ),
+        scratch_shapes=[
+            pltpu.VMEM((c, meta.n_pad), x.dtype) for c in meta.cdims[1:]
+        ],
         interpret=meta.interpret,
         **({} if meta.interpret else
            {"compiler_params": tpu_compiler_params()}),
