@@ -62,6 +62,15 @@ parser.add_argument("--timeit", type=int, default=0,
                     help="after warmup, time N-iteration windows (5x) and "
                     "report time/iter + MFU from XLA cost analysis, then "
                     "exit. 0 = train normally.")
+parser.add_argument("--inner", type=int, default=0,
+                    help="scan N training steps inside one dispatch (the KS "
+                    "fused-loop protocol): the dataset lives on-device and "
+                    "each inner step gathers a FRESH random minibatch; one "
+                    "loss fetch per dispatch chain. 0 = one dispatch per "
+                    "iteration (the reference's per-iter protocol). "
+                    "tools/profile_ffjord.py measured ~4 ms/iter of "
+                    "per-dispatch overhead on the tunneled chip at the "
+                    "miniboone recipe; --inner amortizes it.")
 args = init_flags(parser)
 
 import jax
@@ -155,6 +164,33 @@ def main():
         _, nll = nll_and_regs(p, x, key, False)
         return nll
 
+    # scanned training chunk (--inner): the whole train split lives on the
+    # device (MAF tabular sets are a few MB) and each scanned step gathers a
+    # FRESH random minibatch + a fresh Hutchinson key, so the protocol trains
+    # exactly what the per-dispatch loop trains — only the host round-trips
+    # are amortized (one dispatch + one loss fetch per `inner` iterations).
+    trn_dev = jnp.asarray(data.trn) if args.inner else None
+    n_trn = len(data.trn)
+
+    @jax.jit
+    def train_chunk(p, s, base_itr, scale):
+        def body(carry, it):
+            p, s = carry
+            kb = jax.random.fold_in(jax.random.PRNGKey(args.seed), it)
+            ki, kh = jax.random.split(kb)
+            idx = jax.random.randint(ki, (args.batch_size,), 0, n_trn)
+            x = trn_dev[idx]
+            (_, nll), g = jax.value_and_grad(nll_and_regs, has_aux=True)(
+                p, x, kh, True
+            )
+            g = jax.tree_util.tree_map(lambda a: a * scale, g)
+            updates, s = opt.update(g, s, params=p)
+            return (optax.apply_updates(p, updates), s), nll
+        (p, s), nlls = jax.lax.scan(
+            body, (p, s), base_itr + jnp.arange(args.inner)
+        )
+        return p, s, nlls[-1]
+
     def full_nll(p, xs, seed=0, bs=None):
         bs = bs or args.test_batch_size
         tot, n = 0.0, 0
@@ -188,20 +224,35 @@ def main():
 
         nfe0 = _nfe_total()
         t0 = time.time()
-        compiled = train_step.lower(
-            params, opt_state, x_sample, jax.random.PRNGKey(0), lr_scale
-        ).compile()
+        if args.inner:
+            compiled = train_chunk.lower(
+                params, opt_state, jnp.zeros((), jnp.int32), lr_scale
+            ).compile()
+        else:
+            compiled = train_step.lower(
+                params, opt_state, x_sample, jax.random.PRNGKey(0), lr_scale
+            ).compile()
         compile_s = time.time() - t0
+        # the scan body (one training iteration) is traced exactly once in
+        # either path, so the traced NFE delta already IS the per-iteration
+        # count — no division by `inner`.
         nfe_iter = _nfe_total() - nfe0
         state = {"p": params, "s": opt_state}
 
         def step(i):
-            state["p"], state["s"], loss = compiled(
-                state["p"], state["s"], x_sample, jax.random.PRNGKey(i),
-                lr_scale,
-            )
+            if args.inner:
+                state["p"], state["s"], loss = compiled(
+                    state["p"], state["s"],
+                    jnp.asarray(i * args.inner, jnp.int32), lr_scale,
+                )
+            else:
+                state["p"], state["s"], loss = compiled(
+                    state["p"], state["s"], x_sample, jax.random.PRNGKey(i),
+                    lr_scale,
+                )
             return loss
 
+        per_disp = max(args.inner, 1)
         float(step(0))  # first dispatch + device->host channel warm-up
         rates = []
         for w in range(5):
@@ -210,13 +261,14 @@ def main():
             for i in range(args.timeit):
                 loss = step(w * args.timeit + i + 1)
             float(loss)  # fetch = the only real sync on the axon backend
-            rates.append(args.timeit / (time.time() - t0))
+            rates.append(args.timeit * per_disp / (time.time() - t0))
             logger.info(f"window {w}: {rates[-1]:.2f} it/s")
         med = statistics.median(rates)
-        rf = roofline(compiled, med)
+        rf = roofline(compiled, med, work_per_program=per_disp)
         mfu = None if rf["mfu"] is None else round(rf["mfu"], 4)
         logger.info(
-            f"TIMEIT {args.data} D={D} batch={args.batch_size}: "
+            f"TIMEIT {args.data} D={D} batch={args.batch_size} "
+            f"inner={args.inner}: "
             f"{med:.2f} it/s ({1e3 / med:.2f} ms/iter) | "
             f"NFE-F/iter {nfe_iter} (NFE-B equal: stage-exact replay) | "
             f"mfu {mfu} hbm_frac {rf['hbm_frac']} "
