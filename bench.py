@@ -203,13 +203,15 @@ def bench_sinode(args, nx, batch, dt, metric):
     t_out = np.array([0.0, dt])
     params = (vim, vex)
 
-    # --dp: batch-sharded data parallelism over a device Mesh on the
-    # scanned training path (the fused-loop kernel is a single-chip
-    # VMEM-resident program; DP shards around compiled programs, so the
-    # two compose per-device in principle but are benchmarked separately).
-    # On this sandbox's one real chip a --dp 1 mesh must be a
-    # zero-regression configuration; N-device scaling runs on the virtual
-    # CPU mesh (tests/test_parallel.py asserts gradient equality there).
+    # --dp: batch-sharded data parallelism over a device Mesh. Composes
+    # with the fused kernels: the fused-LOOP path swaps in
+    # parallel.dp_fused_train_loop (per-device grads-only kernel + pmean
+    # + stacked XLA Adam — exact DP semantics need the gradient reduced
+    # before every Adam update, so the iteration boundary leaves the
+    # kernel; tests/test_fused_dp.py asserts equality with the
+    # single-chip loop). On this sandbox's one real chip a --dp 1 mesh
+    # must be a near-zero-regression configuration; N-device scaling
+    # runs on the virtual CPU mesh.
     dp_mesh = None
     if args.dp:
         from pnode_tpu.parallel import make_mesh
@@ -231,7 +233,7 @@ def bench_sinode(args, nx, batch, dt, metric):
     # equal to the generic ODESolver + optax.adam loop per-step in
     # tests/test_fused_train_loop.py. Same static gate as the per-step
     # fused kernels + a VMEM-fit check; --no_fused_loop forces the scan.
-    if (use_pallas and not args.no_fused_loop and dp_mesh is None
+    if (use_pallas and not args.no_fused_loop
             and state_dtype == jnp.float32):
         from pnode_tpu.ops.fused_train_loop import (
             fused_train_loop,
@@ -244,7 +246,9 @@ def bench_sinode(args, nx, batch, dt, metric):
         if fused is not None:
             spec, J_blk, inv_op, _interp, wdt, stiff_prec = fused
             dims = [int(w.shape[1]) for w in spec["Ws"]]
-            if wdt == "f32" and fused_train_loop_fits(batch, nx, dims):
+            # VMEM fit is per-device: DP shards the batch over the mesh
+            fit_B = batch // dp_mesh.devices.size if dp_mesh else batch
+            if wdt == "f32" and fused_train_loop_fits(fit_B, nx, dims):
                 inner = max(1, int(args.inner_steps) or 2000)
                 tbl = (stp._aI, stp._aE, stp._bI, stp._bE)
                 Ws, bs = list(spec["Ws"]), list(spec["bs"])
@@ -260,14 +264,34 @@ def bench_sinode(args, nx, batch, dt, metric):
                 y_stack = jax.random.normal(k1, (inner, batch, nx), dtype)
                 tgt_stack = y_stack + 0.05 * jax.random.normal(
                     k2, (inner, batch, nx), dtype)
+                if dp_mesh is not None:
+                    from jax.sharding import (
+                        NamedSharding, PartitionSpec as Pspec)
 
-                def loop(y_s, t_s, Ws, bs, m, v, t0):
-                    return fused_train_loop(
-                        tbl, dt, y_s, t_s, J_blk, inv_op, Ws, bs, m, v,
-                        t0, activation=spec["activation"],
-                        sign=spec["sign"], lr=5e-3,
-                        stiff_prec=stiff_prec,
-                    )
+                    sh = NamedSharding(dp_mesh, Pspec(None, "dp", None))
+                    y_stack = jax.device_put(y_stack, sh)
+                    tgt_stack = jax.device_put(tgt_stack, sh)
+
+                if dp_mesh is not None:
+                    from pnode_tpu.parallel import dp_fused_train_loop
+
+                    def loop(y_s, t_s, Ws, bs, m, v, t0):
+                        return dp_fused_train_loop(
+                            dp_mesh, tbl, dt, y_s, t_s, J_blk, inv_op,
+                            Ws, bs, m, v, t0,
+                            activation=spec["activation"],
+                            sign=spec["sign"], lr=5e-3,
+                            stiff_prec=stiff_prec,
+                            force_general=args.dp_general,
+                        )
+                else:
+                    def loop(y_s, t_s, Ws, bs, m, v, t0):
+                        return fused_train_loop(
+                            tbl, dt, y_s, t_s, J_blk, inv_op, Ws, bs, m,
+                            v, t0, activation=spec["activation"],
+                            sign=spec["sign"], lr=5e-3,
+                            stiff_prec=stiff_prec,
+                        )
 
                 t0 = time.time()
                 lowered = jax.jit(loop).lower(
@@ -763,9 +787,17 @@ def main():
                          "the scanned per-step path instead")
     ap.add_argument("--dp", type=int, default=0,
                     help="sinode workloads: data-parallel over N devices "
-                         "(-1 = all) on the scanned path — batch sharded "
-                         "over a Mesh, solve device-local, one pmean pair "
-                         "per step (pnode_tpu.parallel)")
+                         "(-1 = all) — batch sharded over a Mesh, solve "
+                         "device-local, gradients pmean'd. Rides the "
+                         "fused-loop kernels when applicable "
+                         "(parallel.dp_fused_train_loop); --no_fused_loop "
+                         "forces the scanned path")
+    ap.add_argument("--dp_general", action="store_true",
+                    help="with --dp 1: skip the single-device fast path "
+                         "(which delegates to the single-chip loop "
+                         "kernel) and run the general per-iteration "
+                         "grads-kernel + pmean + XLA-Adam path, to "
+                         "measure the DP architecture's cost")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend in-process (env "
                          "JAX_PLATFORMS does not stick under the axon "

@@ -129,6 +129,158 @@ def fused_train_loop_cost(tableau_static, B, d, layer_dims, K):
     return flops, byts
 
 
+def _fwd_bwd_iteration(s, n_layers, act_name, aI, aE, bI, bE, sign,
+                       sdot, inv_count, pdims, offs, maxP, bias_rows,
+                       dt, Wv, bv, y, tgt, jf, invf, jt, invt, row_mask):
+    """One complete forward ARK-IMEX step + loss + stage-exact reverse
+    sweep on VALUES (not refs): returns (loss, dWstack, dbstack).
+
+    Shared between the K-iteration loop kernel (which applies Adam
+    in-kernel between iterations) and the grads-only kernel used by the
+    data-parallel composition (``fused_grad_step``), where the Adam
+    update happens OUTSIDE the kernel after a cross-device gradient
+    psum (parallel/fused_dp.py)."""
+    act = _ACTS[act_name]
+    # per-layer views of the carried stacks (static slices)
+    Ws = [jax.lax.slice(Wv, (offs[l], 0),
+                        (offs[l] + pdims[l], pdims[l + 1]))
+          for l in range(n_layers)]
+    bs = [jax.lax.slice(bv, (l, 0), (l + 1, pdims[l + 1]))
+          for l in range(n_layers)]
+
+    def mlp(x, Ws=Ws, bs=bs):
+        h = x
+        pre = []
+        hs = [h]
+        for l in range(n_layers):
+            z = jnp.dot(h, Ws[l],
+                        preferred_element_type=jnp.float32) + bs[l]
+            pre.append(z)
+            h = act(z) if l < n_layers - 1 else z
+            hs.append(h)
+        return h, pre, hs
+
+    # ---- forward ARK step (mirror of fused_ark_forward._kernel) ----
+    kI = [None] * s
+    kE = [None] * s
+    Ys = [None] * s
+    pres = [None] * s  # cached MLP internals: the reverse sweep
+    hss = [None] * s   # reuses them instead of recomputing (op count
+    y1 = y             # is the latency bottleneck in this kernel)
+    for i in range(s):
+        G = y
+        for j in range(i):
+            if aI[i][j] != 0.0:
+                G = G + (dt * aI[i][j]) * kI[j]
+            if aE[i][j] != 0.0:
+                G = G + (dt * aE[i][j]) * kE[j]
+        if aI[i][i] != 0.0:
+            Yi = sdot(G, invf)
+            inv_dt = jnp.where(dt == 0.0, 0.0, 1.0 / (dt * aI[i][i]))
+            kI[i] = (Yi - G) * inv_dt
+        else:
+            Yi = G
+            kI[i] = sdot(Yi, jf)
+        Ys[i] = Yi
+        out, pres[i], hss[i] = mlp(Yi)
+        kE[i] = sign * out
+        if bI[i] != 0.0:
+            y1 = y1 + (dt * bI[i]) * kI[i]
+        if bE[i] != 0.0:
+            y1 = y1 + (dt * bE[i]) * kE[i]
+
+    # ---- loss + adjoint seed (phantom rows masked out) --------------
+    diff = (y1 - tgt) * row_mask
+    loss = jnp.sum(diff * diff) * inv_count
+    lam = (2.0 * inv_count) * diff
+
+    # ---- reverse sweep (mirror of fused_ark_adjoint._kernel) -------
+    # per-stage backprop deltas are collected and the dW/db outer
+    # products batched into ONE dot per layer over the concatenated
+    # stages (stacking is cheap VPU work; each saved dot is a full
+    # MXU issue)
+    g_stages = [[] for _ in range(n_layers)]
+    h_stages = [[] for _ in range(n_layers)]
+    xis = [None] * s
+    for i in range(s - 1, -1, -1):
+        u = None
+        uh = None
+        if bI[i] != 0.0:
+            u = (dt * bI[i]) * lam
+        if bE[i] != 0.0:
+            uh = (dt * bE[i]) * lam
+        for m in range(i + 1, s):
+            if xis[m] is None:
+                continue
+            if aI[m][i] != 0.0:
+                t_ = (dt * aI[m][i]) * xis[m]
+                u = t_ if u is None else u + t_
+            if aE[m][i] != 0.0:
+                t_ = (dt * aE[m][i]) * xis[m]
+                uh = t_ if uh is None else uh + t_
+        if u is None and uh is None:
+            continue
+        implicit = aI[i][i] != 0.0
+        p = None
+        if u is not None and not implicit:
+            p = sdot(u, jt)
+        if uh is not None:
+            pre, hs = pres[i], hss[i]
+            g = sign * uh
+            for l in range(n_layers - 1, -1, -1):
+                if l < n_layers - 1:
+                    if act_name == "relu":
+                        g = g * (pre[l] > 0).astype(jnp.float32)
+                    else:  # tanh
+                        t_ = jnp.tanh(pre[l])
+                        g = g * (1.0 - t_ * t_)
+                g_stages[l].append(g)
+                h_stages[l].append(hs[l])
+                g = jnp.dot(g, Ws[l].T,
+                            preferred_element_type=jnp.float32)
+            p = g if p is None else p + g
+        if implicit:
+            if u is not None:
+                inv_dtg = jnp.where(dt == 0.0, 0.0,
+                                    1.0 / (dt * aI[i][i]))
+                c = u * inv_dtg
+                q = c if p is None else c + p
+                xi = sdot(q, invt) - c
+            else:
+                xi = sdot(p, invt)
+        else:
+            xi = p
+        xis[i] = xi
+
+    dW_blocks = []
+    db_rows = []
+    for l in range(n_layers):
+        if not g_stages[l]:
+            dW_blocks.append(jnp.zeros((pdims[l], maxP), jnp.float32))
+            db_rows.append(jnp.zeros((1, maxP), jnp.float32))
+            continue
+        G_all = (g_stages[l][0] if len(g_stages[l]) == 1
+                 else jnp.concatenate(g_stages[l], axis=0))
+        H_all = (h_stages[l][0] if len(h_stages[l]) == 1
+                 else jnp.concatenate(h_stages[l], axis=0))
+        dW = jnp.dot(H_all.T, G_all,
+                     preferred_element_type=jnp.float32)
+        db = jnp.sum(G_all, axis=0, keepdims=True)
+        if pdims[l + 1] < maxP:
+            dW = jnp.pad(dW, ((0, 0), (0, maxP - pdims[l + 1])))
+            db = jnp.pad(db, ((0, 0), (0, maxP - pdims[l + 1])))
+        dW_blocks.append(dW)
+        db_rows.append(db)
+    dWstack = (dW_blocks[0] if n_layers == 1
+               else jnp.concatenate(dW_blocks, axis=0))
+    if bias_rows > n_layers:  # bias block rows padded to 8
+        db_rows.append(jnp.zeros((bias_rows - n_layers, maxP),
+                                 jnp.float32))
+    dbstack = (db_rows[0] if len(db_rows) == 1
+               else jnp.concatenate(db_rows, axis=0))
+    return loss, dWstack, dbstack
+
+
 def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
             b1, b2, eps, inv_count, C, pdims, offs, logical_B,
             dt_ref, t0_ref, lr_ref, y_ref, tgt_ref,
@@ -148,7 +300,6 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
     parameter/moment state is carried in registers across the C
     iterations of a grid step (one ref read + one write per block per
     grid step instead of per iteration)."""
-    act = _ACTS[act_name]
     ins = refs[:6]
     outs = refs[6:12]
     loss_ref = refs[12]
@@ -194,145 +345,13 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
 
     losses = []
     for it in range(C):
-        # per-layer views of the carried stacks (static slices)
-        Ws = [jax.lax.slice(Wv, (offs[l], 0),
-                            (offs[l] + pdims[l], pdims[l + 1]))
-              for l in range(n_layers)]
-        bs = [jax.lax.slice(bv, (l, 0), (l + 1, pdims[l + 1]))
-              for l in range(n_layers)]
-
-        def mlp(x, Ws=Ws, bs=bs):
-            h = x
-            pre = []
-            hs = [h]
-            for l in range(n_layers):
-                z = jnp.dot(h, Ws[l],
-                            preferred_element_type=jnp.float32) + bs[l]
-                pre.append(z)
-                h = act(z) if l < n_layers - 1 else z
-                hs.append(h)
-            return h, pre, hs
-
-        # ---- forward ARK step (mirror of fused_ark_forward._kernel) ----
-        y = y_ref[it]
-        tgt = tgt_ref[it]
-        kI = [None] * s
-        kE = [None] * s
-        Ys = [None] * s
-        pres = [None] * s  # cached MLP internals: the reverse sweep
-        hss = [None] * s   # reuses them instead of recomputing (op count
-        y1 = y             # is the latency bottleneck in this kernel)
-        for i in range(s):
-            G = y
-            for j in range(i):
-                if aI[i][j] != 0.0:
-                    G = G + (dt * aI[i][j]) * kI[j]
-                if aE[i][j] != 0.0:
-                    G = G + (dt * aE[i][j]) * kE[j]
-            if aI[i][i] != 0.0:
-                Yi = sdot(G, invf)
-                inv_dt = jnp.where(dt == 0.0, 0.0, 1.0 / (dt * aI[i][i]))
-                kI[i] = (Yi - G) * inv_dt
-            else:
-                Yi = G
-                kI[i] = sdot(Yi, jf)
-            Ys[i] = Yi
-            out, pres[i], hss[i] = mlp(Yi)
-            kE[i] = sign * out
-            if bI[i] != 0.0:
-                y1 = y1 + (dt * bI[i]) * kI[i]
-            if bE[i] != 0.0:
-                y1 = y1 + (dt * bE[i]) * kE[i]
-
-        # ---- loss + adjoint seed (phantom rows masked out) --------------
-        diff = (y1 - tgt) * row_mask
-        losses.append(jnp.sum(diff * diff) * inv_count)
-        lam = (2.0 * inv_count) * diff
-
-        # ---- reverse sweep (mirror of fused_ark_adjoint._kernel) -------
-        # per-stage backprop deltas are collected and the dW/db outer
-        # products batched into ONE dot per layer over the concatenated
-        # stages (stacking is cheap VPU work; each saved dot is a full
-        # MXU issue)
-        g_stages = [[] for _ in range(n_layers)]
-        h_stages = [[] for _ in range(n_layers)]
-        xis = [None] * s
-        for i in range(s - 1, -1, -1):
-            u = None
-            uh = None
-            if bI[i] != 0.0:
-                u = (dt * bI[i]) * lam
-            if bE[i] != 0.0:
-                uh = (dt * bE[i]) * lam
-            for m in range(i + 1, s):
-                if xis[m] is None:
-                    continue
-                if aI[m][i] != 0.0:
-                    t_ = (dt * aI[m][i]) * xis[m]
-                    u = t_ if u is None else u + t_
-                if aE[m][i] != 0.0:
-                    t_ = (dt * aE[m][i]) * xis[m]
-                    uh = t_ if uh is None else uh + t_
-            if u is None and uh is None:
-                continue
-            implicit = aI[i][i] != 0.0
-            p = None
-            if u is not None and not implicit:
-                p = sdot(u, jt)
-            if uh is not None:
-                pre, hs = pres[i], hss[i]
-                g = sign * uh
-                for l in range(n_layers - 1, -1, -1):
-                    if l < n_layers - 1:
-                        if act_name == "relu":
-                            g = g * (pre[l] > 0).astype(jnp.float32)
-                        else:  # tanh
-                            t_ = jnp.tanh(pre[l])
-                            g = g * (1.0 - t_ * t_)
-                    g_stages[l].append(g)
-                    h_stages[l].append(hs[l])
-                    g = jnp.dot(g, Ws[l].T,
-                                preferred_element_type=jnp.float32)
-                p = g if p is None else p + g
-            if implicit:
-                if u is not None:
-                    inv_dtg = jnp.where(dt == 0.0, 0.0,
-                                        1.0 / (dt * aI[i][i]))
-                    c = u * inv_dtg
-                    q = c if p is None else c + p
-                    xi = sdot(q, invt) - c
-                else:
-                    xi = sdot(p, invt)
-            else:
-                xi = p
-            xis[i] = xi
-
-        dW_blocks = []
-        db_rows = []
-        for l in range(n_layers):
-            if not g_stages[l]:
-                dW_blocks.append(jnp.zeros((pdims[l], maxP), jnp.float32))
-                db_rows.append(jnp.zeros((1, maxP), jnp.float32))
-                continue
-            G_all = (g_stages[l][0] if len(g_stages[l]) == 1
-                     else jnp.concatenate(g_stages[l], axis=0))
-            H_all = (h_stages[l][0] if len(h_stages[l]) == 1
-                     else jnp.concatenate(h_stages[l], axis=0))
-            dW = jnp.dot(H_all.T, G_all,
-                         preferred_element_type=jnp.float32)
-            db = jnp.sum(G_all, axis=0, keepdims=True)
-            if pdims[l + 1] < maxP:
-                dW = jnp.pad(dW, ((0, 0), (0, maxP - pdims[l + 1])))
-                db = jnp.pad(db, ((0, 0), (0, maxP - pdims[l + 1])))
-            dW_blocks.append(dW)
-            db_rows.append(db)
-        dWstack = (dW_blocks[0] if n_layers == 1
-                   else jnp.concatenate(dW_blocks, axis=0))
-        if bv.shape[0] > n_layers:  # bias block rows padded to 8
-            db_rows.append(jnp.zeros((bv.shape[0] - n_layers, maxP),
-                                     jnp.float32))
-        dbstack = (db_rows[0] if len(db_rows) == 1
-                   else jnp.concatenate(db_rows, axis=0))
+        loss_it, dWstack, dbstack = _fwd_bwd_iteration(
+            s, n_layers, act_name, aI, aE, bI, bE, sign,
+            sdot, inv_count, pdims, offs, maxP, bv.shape[0],
+            dt, Wv, bv, y_ref[it], tgt_ref[it],
+            jf, invf, jt, invt, row_mask,
+        )
+        losses.append(loss_it)
 
         # ---- Adam (optax.adam formula; t counts updates, 1-based) ------
         # one stacked update for all weights and one for all biases;
@@ -446,16 +465,10 @@ def fused_train_loop(
     Rb = _round_up(n_layers, 8)
 
     def wstack(ws):
-        return jnp.concatenate(
-            [_pad2(w.astype(jnp.float32), pdims[l], maxP)
-             for l, w in enumerate(ws)], axis=0)
+        return _wstack(ws, pdims, maxP)
 
     def bstack(bs_):
-        rows = [_pad2(b.reshape(1, -1).astype(jnp.float32), 1, maxP)
-                for b in bs_]
-        if Rb > n_layers:
-            rows.append(jnp.zeros((Rb - n_layers, maxP), jnp.float32))
-        return jnp.concatenate(rows, axis=0)
+        return _bstack(bs_, maxP, Rb)
 
     flat = [wstack(weights), bstack(biases), wstack(mWs), bstack(mbs),
             wstack(vWs), bstack(vbs)]
@@ -521,3 +534,180 @@ def fused_train_loop(
         vW_o.append(vWres[o:o + wi, :wj])
         vb_o.append(vbres[l, :wj])
     return Ws_o, bs_o, (mW_o, mb_o), (vW_o, vb_o), losses
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel composition: grads-only kernel + stacked-layout helpers.
+#
+# Exact synchronous DP needs a cross-device gradient reduction BEFORE every
+# Adam update, so the K-iteration loop cannot stay inside one kernel when the
+# batch is sharded. The DP path (parallel/fused_dp.py) instead runs, per
+# scanned iteration and per device, ONE fused forward+reverse kernel
+# (`fused_grad_step`, the same `_fwd_bwd_iteration` math as the loop kernel)
+# producing the stacked gradient blocks; a `lax.pmean` reduces them over the
+# mesh and the stacked Adam update runs as ~12 large XLA VPU ops between
+# kernel calls. Weights/moments stay in the stacked (R, maxP)/(Rb, maxP)
+# layout across the whole scan (pack once, unpack once — `LoopLayout`).
+# ---------------------------------------------------------------------------
+
+
+def _wstack(ws, pdims, maxP):
+    return jnp.concatenate(
+        [_pad2(w.astype(jnp.float32), pdims[l], maxP)
+         for l, w in enumerate(ws)], axis=0)
+
+
+def _bstack(bs_, maxP, Rb):
+    n_layers = len(bs_)
+    rows = [_pad2(b.reshape(1, -1).astype(jnp.float32), 1, maxP)
+            for b in bs_]
+    if Rb > n_layers:
+        rows.append(jnp.zeros((Rb - n_layers, maxP), jnp.float32))
+    return jnp.concatenate(rows, axis=0)
+
+
+class LoopLayout:
+    """Static description of the stacked VMEM-resident parameter layout
+    shared by the loop kernel and the DP grads-only kernel: layer l's
+    (dims[l], dims[l+1]) weights live at rows offs[l]:offs[l]+pdims[l]
+    (cols :pdims[l+1]) of one (R, maxP) f32 block; biases as row l of one
+    (Rb, maxP) block. ``B`` is the LOCAL (per-device) logical batch."""
+
+    def __init__(self, B, d, layer_dims):
+        self.dims = [int(d)] + [int(x) for x in layer_dims]
+        self.pdims = [_round_up(x, 128) for x in self.dims]
+        self.n_layers = len(layer_dims)
+        self.P = self.pdims[0]
+        self.B = int(B)
+        self.Bp = _round_up(int(B), 8)
+        self.maxP = max(self.pdims)
+        offs = [0]
+        for l in range(self.n_layers):
+            offs.append(offs[-1] + self.pdims[l])
+        self.offs = offs
+        self.R = offs[-1]
+        self.Rb = _round_up(self.n_layers, 8)
+
+    def pad_batch(self, a):
+        """(..., B, d) -> (..., Bp, P) zero-padded f32."""
+        pad = [(0, 0)] * (a.ndim - 2) + [(0, self.Bp - a.shape[-2]),
+                                         (0, self.P - a.shape[-1])]
+        return jnp.pad(a.astype(jnp.float32), pad)
+
+    def pack(self, ws, bs):
+        return _wstack(ws, self.pdims, self.maxP), _bstack(
+            bs, self.maxP, self.Rb)
+
+    def unpack(self, Wv, bv):
+        ws, bs = [], []
+        for l in range(self.n_layers):
+            o = self.offs[l]
+            ws.append(Wv[o:o + self.dims[l], :self.dims[l + 1]])
+            bs.append(bv[l, :self.dims[l + 1]])
+        return ws, bs
+
+    def pack_operator(self, A):
+        return _pad2(A, self.P, self.P)
+
+
+def _grad_kernel(s, n_layers, act_name, aI, aE, bI, bE, sign, stiff_prec,
+                 inv_count, pdims, offs, logical_B,
+                 dt_ref, y_ref, tgt_ref,
+                 jf_ref, invf_ref, jt_ref, invt_ref, W_ref, b_ref,
+                 dW_ref, db_ref, loss_ref):
+    """One forward+reverse iteration; emits gradient stacks instead of
+    applying Adam (the DP wrapper reduces them across devices first)."""
+    dt = dt_ref[0, 0]
+    jf = jf_ref[:]
+    invf = invf_ref[:]
+    jt = jt_ref[:]
+    invt = invt_ref[:]
+    if stiff_prec == "high":
+        jf, invf, jt, invt = (
+            _pack_high_operator(a) for a in (jf, invf, jt, invt))
+
+        def sdot(x, A):
+            return _stiff_dot_high_packed(x, A)
+    else:
+        def sdot(x, A):
+            return _stiff_dot(x, A, stiff_prec)
+
+    n_rows = y_ref.shape[0]
+    row_mask = (jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+                < logical_B).astype(jnp.float32)
+    maxP = W_ref.shape[1]
+    loss, dWstack, dbstack = _fwd_bwd_iteration(
+        s, n_layers, act_name, aI, aE, bI, bE, sign,
+        sdot, inv_count, pdims, offs, maxP, b_ref.shape[0],
+        dt, W_ref[:], b_ref[:], y_ref[:], tgt_ref[:],
+        jf, invf, jt, invt, row_mask,
+    )
+    dW_ref[:] = dWstack
+    db_ref[:] = dbstack
+    loss_ref[:] = jnp.full(loss_ref.shape, loss, jnp.float32)
+
+
+def fused_grad_step(
+    layout: "LoopLayout",
+    tableau_static,
+    dt,
+    y_p: jnp.ndarray,       # (Bp, P) padded local minibatch
+    tgt_p: jnp.ndarray,     # (Bp, P)
+    jf_p, invf_p, jt_p, invt_p,   # (P, P) padded operators (fwd/rev pairs)
+    Wv: jnp.ndarray,        # (R, maxP) stacked weights
+    bv: jnp.ndarray,        # (Rb, maxP) stacked biases
+    activation: str = "relu",
+    sign: float = -1.0,
+    interpret: bool = False,
+    stiff_prec: str = "highest",
+    global_count: int = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(loss, dWstack, dbstack) for ONE training iteration on the LOCAL
+    batch shard, all in the stacked layout. ``global_count`` (default
+    B*d) is the loss-mean denominator — the DP wrapper passes the LOCAL
+    count and pmean's the result, which equals the global mean.
+    """
+    aI, aE, bI, bE = tableau_static
+    s = len(bI)
+    denom = float(global_count if global_count is not None
+                  else layout.B * layout.dims[0])
+    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
+
+    const = lambda a: pl.BlockSpec(a.shape, lambda: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    kern = functools.partial(
+        _grad_kernel, s, layout.n_layers, activation,
+        tuple(tuple(float(x) for x in row) for row in aI),
+        tuple(tuple(float(x) for x in row) for row in aE),
+        tuple(float(x) for x in bI),
+        tuple(float(x) for x in bE),
+        float(sign), stiff_prec,
+        float(1.0 / denom),
+        tuple(layout.pdims), tuple(layout.offs), layout.B,
+    )
+    outs = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((layout.R, layout.maxP), jnp.float32),
+            jax.ShapeDtypeStruct((layout.Rb, layout.maxP), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ] + [const(a) for a in
+             (y_p, tgt_p, jf_p, invf_p, jt_p, invt_p, Wv, bv)],
+        out_specs=(
+            pl.BlockSpec((layout.R, layout.maxP), lambda: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((layout.Rb, layout.maxP), lambda: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        **({} if interpret else
+           {"compiler_params": tpu_compiler_params()}),
+    )(dt_arr, y_p, tgt_p, jf_p, invf_p, jt_p, invt_p, Wv, bv)
+    dWstack, dbstack, loss_blk = outs
+    return loss_blk[0, 0], dWstack, dbstack
