@@ -29,7 +29,30 @@ parser.add_argument("--function", type=str, default="laplacian",
 parser.add_argument("--cgnn_alpha", type=float, default=1.0,
                     help="cgnn: per-node alpha_train init (CGNN.py)")
 parser.add_argument("--block", type=str, default="pnode",
-                    choices=["pnode", "imex", "hard_att", "heavyball"])
+                    choices=["pnode", "imex", "hard_att", "heavyball",
+                             "rewire_att"])
+parser.add_argument("--rw_addD", type=float, default=0.2,
+                    help="block=rewire_att: keep ~(1+rw_addD)x the base "
+                    "edge count from the candidate set each forward "
+                    "(reference block_transformer_rewiring.py threshold "
+                    "target)")
+parser.add_argument("--rewire_candidates", type=str, default="two_hop",
+                    choices=["two_hop", "random"],
+                    help="block=rewire_att: static candidate edge pool "
+                    "(base + 2-hop, or base + random extras)")
+parser.add_argument("--rewire_knn", type=int, default=0,
+                    help="every N epochs, rebuild the graph as the "
+                    "feature-kNN graph (GNN_KNN.py rewire_KNN_epoch; "
+                    "0 = off). Static N*k edge count; each rewiring "
+                    "re-jits the step (shapes unchanged)")
+parser.add_argument("--knn_k", type=int, default=16,
+                    help="kNN degree for --rewire_knn "
+                    "(reference --rewire_KNN_k)")
+parser.add_argument("--knn_t", type=str, default="T0",
+                    choices=["raw", "T0", "TN"],
+                    help="features the kNN graph is built on: raw inputs, "
+                    "encoder output, or post-diffusion state "
+                    "(graph_rewiring.py apply_KNN)")
 parser.add_argument("--att_samp_pct", type=float, default=1.0,
                     help="hard_att block: fraction of edges kept per "
                          "training solve (quantile threshold on the "
@@ -86,6 +109,7 @@ from pnode_tpu.models.grand import (
     gdc_rewiring,
     gcn_norm_adj,
     get_rw_adj,
+    knn_graph,
     laplacian_positional_encoding,
     load_heterophilic,
     load_planetoid,
@@ -152,7 +176,13 @@ def main():
         att_samp_pct=args.att_samp_pct, use_flux=args.use_flux,
         attention_norm_idx=args.attention_norm_idx,
         cgnn_alpha=args.cgnn_alpha,
+        rw_addD=args.rw_addD, rewire_candidates=args.rewire_candidates,
+        rewire_seed=args.seed,
     )
+    if args.block == "rewire_att":
+        print(f"rewire_att: {model.diffusion_graph.edge_index.shape[1]} "
+              f"candidate edges ({args.rewire_candidates}), top-"
+              f"{model.rewire_K} kept per forward")
     x = jnp.asarray(data["x"])
     y = jnp.asarray(data["y"])
     masks = {k: jnp.asarray(data[k]) for k in
@@ -163,49 +193,76 @@ def main():
     opt = optax.adamw(args.lr, weight_decay=args.decay)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def train_step(p, s, rng):
-        def loss_fn(pp):
-            logits = model.apply(pp, x, training=True, rng=rng,
-                                 pos_encoding=pos_enc)
-            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-            return jnp.sum(ce * masks["train_mask"]) / jnp.sum(
-                masks["train_mask"]
-            )
-
-        loss, g = jax.value_and_grad(loss_fn)(p)
-        updates, s = opt.update(g, s, params=p)
-        return optax.apply_updates(p, updates), s, loss
-
-    @jax.jit
-    def accuracy(p):
-        logits = model.apply(p, x, training=False, pos_encoding=pos_enc)
-        pred = jnp.argmax(logits, -1)
-        out = {}
-        for k, m in masks.items():
-            out[k] = jnp.sum((pred == y) * m) / jnp.sum(m)
-        return out
-
     eval_times = np.linspace(0.0, args.time, 5)[1:]
 
-    @jax.jit
-    def accuracy_multi(p):
-        logits_t = model.apply_multi(p, x, eval_times,
+    def make_fns():
+        """Freshly-jitted step/eval closures. Rebuilt after each kNN
+        rewiring: the graph's edge constants are baked into the traces,
+        so a rewired model needs new traces (same shapes — N*k edges —
+        so compile stays cheap and cache-friendly)."""
+
+        @jax.jit
+        def train_step(p, s, rng):
+            def loss_fn(pp):
+                logits = model.apply(pp, x, training=True, rng=rng,
                                      pos_encoding=pos_enc)
-        pred_t = jnp.argmax(logits_t, -1)  # (n_t, N)
-        val_acc = jnp.sum((pred_t == y) * masks["val_mask"], -1) / jnp.sum(
-            masks["val_mask"]
-        )
-        test_acc = jnp.sum((pred_t == y) * masks["test_mask"], -1) / jnp.sum(
-            masks["test_mask"]
-        )
-        i = jnp.argmax(val_acc)
-        return val_acc[i], test_acc[i], jnp.asarray(eval_times)[i]
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y)
+                return jnp.sum(ce * masks["train_mask"]) / jnp.sum(
+                    masks["train_mask"]
+                )
+
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            updates, s = opt.update(g, s, params=p)
+            return optax.apply_updates(p, updates), s, loss
+
+        @jax.jit
+        def accuracy(p):
+            logits = model.apply(p, x, training=False, pos_encoding=pos_enc)
+            pred = jnp.argmax(logits, -1)
+            out = {}
+            for k, m in masks.items():
+                out[k] = jnp.sum((pred == y) * m) / jnp.sum(m)
+            return out
+
+        @jax.jit
+        def accuracy_multi(p):
+            logits_t = model.apply_multi(p, x, eval_times,
+                                         pos_encoding=pos_enc)
+            pred_t = jnp.argmax(logits_t, -1)  # (n_t, N)
+            val_acc = jnp.sum(
+                (pred_t == y) * masks["val_mask"], -1) / jnp.sum(
+                masks["val_mask"]
+            )
+            test_acc = jnp.sum(
+                (pred_t == y) * masks["test_mask"], -1) / jnp.sum(
+                masks["test_mask"]
+            )
+            i = jnp.argmax(val_acc)
+            return val_acc[i], test_acc[i], jnp.asarray(eval_times)[i]
+
+        return train_step, accuracy, accuracy_multi
+
+    train_step, accuracy, accuracy_multi = make_fns()
+
+    def knn_features(p):
+        if args.knn_t == "raw":
+            return data["x"]
+        if args.knn_t == "T0":
+            return model.forward_encoder(p, x, pos_encoding=pos_enc)
+        return model.forward_ode(p, x, pos_encoding=pos_enc)
 
     rec = Recorder()
     best_val, best_test, patience = 0.0, 0.0, 0
     for epoch in range(args.epochs):
         t0 = time.time()
+        if args.rewire_knn and epoch % args.rewire_knn == 0 and epoch != 0:
+            # periodic feature-kNN rewiring (run_GNN.py:294-295)
+            ei = knn_graph(np.asarray(knn_features(params)), args.knn_k)
+            model.rewire(get_rw_adj(ei, n, self_loop_weight=1.0))
+            train_step, accuracy, accuracy_multi = make_fns()
+            print(f"Epoch {epoch:03d} | kNN rewiring ({args.knn_t}, "
+                  f"k={args.knn_k}): {ei.shape[1]} edges")
         params, opt_state, loss = train_step(
             params, opt_state, jax.random.PRNGKey(epoch)
         )

@@ -373,6 +373,14 @@ class CGNNFunc(nn.Module):
         return nn.sigmoid(alpha_train)[:, None] * 0.5 * (ax - x) + x0
 
 
+def renormalise_attention(w, edge_index, num_nodes, norm_idx=0):
+    """Per-incidence renormalization of (possibly zeroed) edge weights
+    (block_transformer_hard_attention.py renormalise_attention)."""
+    seg = edge_index[norm_idx]
+    sums = jax.ops.segment_sum(w, seg, num_nodes)
+    return w / (sums[seg] + 1e-16)
+
+
 def hard_attention_weights(mean_att, edge_index, num_nodes, samp_pct,
                            norm_idx=0):
     """Quantile-sampled, renormalized attention for the hard-attention
@@ -386,9 +394,54 @@ def hard_attention_weights(mean_att, edge_index, num_nodes, samp_pct,
     """
     thr = jnp.quantile(mean_att, 1.0 - samp_pct)
     w = jnp.where(mean_att > thr, mean_att, 0.0)
-    seg = edge_index[norm_idx]
-    sums = jax.ops.segment_sum(w, seg, num_nodes)
-    return w / (sums[seg] + 1e-16)
+    return renormalise_attention(w, edge_index, num_nodes, norm_idx)
+
+
+def rewire_topk_weights(scores, edge_index, num_nodes, n_keep, norm_idx=0):
+    """Rewiring as reweighting at static shape: keep the ``n_keep``
+    highest-scoring candidate edges (zero the rest), renormalize over the
+    survivors.
+
+    This is the TPU-native redesign of the reference's runtime rewiring
+    (block_transformer_rewiring.py:237-257: densify the edge list, then
+    quantile-threshold it back to ~(1+rw_addD)x the base count — a
+    dynamically-shaped edge tensor every forward). Here the candidate set
+    is fixed at setup and selection is a top-k MASK, so the solve
+    compiles once; spmm over zero-weight edges equals removing them.
+    ``n_keep`` is static, so ``lax.top_k`` lowers cleanly.
+    """
+    kth = jax.lax.top_k(scores, n_keep)[0][-1]
+    w = jnp.where(scores >= kth, scores, 0.0)
+    return renormalise_attention(w, edge_index, num_nodes, norm_idx)
+
+
+def random_extra_edges(num_nodes, rw_addD, seed=0):
+    """The reference's add_random_edges candidate pool
+    (block_transformer_rewiring.py:89-107): M = N (1/(1-rw_addD) - 1)
+    uniformly random directed edges. Sampled ONCE at setup (static
+    candidate set); the per-forward attention top-k decides which are
+    live."""
+    M = max(1, int(num_nodes * (1.0 / (1.0 - rw_addD) - 1.0)))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, num_nodes, size=(2, M))
+
+
+def knn_graph(x, k):
+    """Feature-space kNN edges (GNN_KNN.py + distances_kNN.py
+    apply_feat_KNN): node i connects to its k nearest neighbors by
+    euclidean distance (self included, as the reference's sklearn query
+    returns). Exactly N*k edges — shape-stable across re-wirings, so the
+    periodic kNN rewiring loop (GNN_KNN's rewire_KNN_epoch) retraces the
+    solve but never re-shapes it. Host-side numpy: rewiring happens
+    between epochs, not inside jit."""
+    x = np.asarray(x)
+    n = x.shape[0]
+    k = min(int(k), n)
+    sq = (x * x).sum(axis=1)
+    d2 = sq[:, None] - 2.0 * (x @ x.T) + sq[None, :]
+    idx = np.argpartition(d2, kth=k - 1, axis=1)[:, :k]
+    src = np.repeat(np.arange(n), k)
+    return np.stack([src, idx.reshape(-1)])
 
 
 class GRANDModel:
@@ -408,6 +461,23 @@ class GRANDModel:
     weighted by ||h_src − h_dst||), renormalized over the surviving
     edges, and frozen (stop_gradient — the reference computes the sampled
     weights under torch.no_grad) as the diffusion operator for the solve.
+
+    ``block="rewire_att"`` rebuilds RewireAttODEblock
+    (block_transformer_rewiring.py) as a TPU-native redesign: the
+    reference densifies the edge LIST per training forward (random or
+    attention-weighted 2-hop edges), quantile-thresholds it back to
+    ~(1+rw_addD)x the base count, and persists the pruned list — a
+    dynamically-shaped tensor that would retrace XLA every iteration.
+    Here the CANDIDATE set is fixed at setup (base ∪ two-hop, or base ∪
+    random extras per ``rewire_candidates``) and each forward selects the
+    top-K candidates by frozen transformer-attention score
+    (``rewire_topk_weights``): rewiring becomes reweighting at static
+    shape. Two semantic deltas, both deliberate: selection is recomputed
+    from the full candidate set every forward instead of accumulating
+    prunes (no hidden training-loop state), and eval uses the same
+    deterministic top-K instead of the last persisted edge list.
+    Periodic feature-kNN rewiring (GNN_KNN.py) is the separate
+    ``knn_graph`` + ``rewire()`` path.
     """
 
     def __init__(
@@ -431,6 +501,9 @@ class GRANDModel:
         use_flux: bool = False,
         attention_norm_idx: int = 0,
         cgnn_alpha: float = 1.0,
+        rw_addD: float = 0.2,
+        rewire_candidates: str = "two_hop",
+        rewire_seed: int = 0,
     ):
         from ..solver import ODESolver
 
@@ -489,6 +562,8 @@ class GRANDModel:
         if block == "heavyball":
             self.block = block = "pnode"  # same explicit solve; only the
             # state shape differs (handled by _heavyball)
+        self.diffusion_graph = graph
+        self.rewire_K = None
         if block == "hard_att":
             if not 0.0 < att_samp_pct <= 1.0:
                 raise ValueError(
@@ -501,6 +576,36 @@ class GRANDModel:
             # the dedicated sampling layer the block creates when the
             # function is not already attention-based
             # (block_transformer_hard_attention.py:62-70)
+            self.hard_att = TransAttention(
+                hidden_dim, heads=heads, norm_idx=attention_norm_idx)
+        elif block == "rewire_att":
+            if function != "laplacian":
+                raise ValueError(
+                    "block='rewire_att' diffuses with the selected "
+                    "attention as a FIXED operator (laplacian form); use "
+                    "function='laplacian'")
+            if not 0.0 < rw_addD < 1.0:
+                raise ValueError("rw_addD must be in (0,1)")
+            base_ei = np.asarray(graph.edge_index)
+            E_base = base_ei.shape[1]
+            if rewire_candidates == "two_hop":
+                cand = two_hop(base_ei, graph.num_nodes)
+            elif rewire_candidates == "random":
+                extra = random_extra_edges(graph.num_nodes, rw_addD,
+                                           seed=rewire_seed)
+                cand = np.unique(np.concatenate([base_ei, extra], axis=1),
+                                 axis=1)
+            else:
+                raise ValueError(
+                    f"unknown rewire_candidates {rewire_candidates!r} "
+                    "(two_hop | random)")
+            self.diffusion_graph = Graph(
+                jnp.asarray(cand),
+                jnp.ones(cand.shape[1], jnp.float32), graph.num_nodes)
+            # keep ~(1+rw_addD) x the base edge count, the reference's
+            # post-threshold target (block_transformer_rewiring.py:249-255)
+            self.rewire_K = min(cand.shape[1],
+                                int(round(E_base * (1.0 + rw_addD))))
             self.hard_att = TransAttention(
                 hidden_dim, heads=heads, norm_idx=attention_norm_idx)
         else:
@@ -540,7 +645,7 @@ class GRANDModel:
         hf, x0f = self._augment(h)
         params = {
             "enc": self.enc.init(k1, x),
-            "func": self.func.init(k2, 0.0, hf, self.graph, x0f),
+            "func": self.func.init(k2, 0.0, hf, self.diffusion_graph, x0f),
             "dec": self.dec.init(k3, h),
         }
         if self.pos_dim:
@@ -549,24 +654,72 @@ class GRANDModel:
             params["enc_pos"] = self.enc_pos.init(k4, pos_encoding)
         if self.hard_att is not None:
             params["hard_att"] = self.hard_att.init(
-                jax.random.fold_in(k4, 1), h, self.graph)
+                jax.random.fold_in(k4, 1), h, self.diffusion_graph)
         return params
 
+    def rewire(self, new_graph: Graph):
+        """Swap the base graph (periodic kNN rewiring, GNN_KNN.py's
+        rewire_KNN_epoch loop: ``model.rewire(get_rw_adj(knn_graph(h, k),
+        n))``). Shapes stay static when the edge count is unchanged
+        (knn_graph always returns N*k edges), but the edge CONSTANTS are
+        baked into the solver traces, so the cache is cleared — one
+        retrace per rewiring, never per step."""
+        if self.block == "rewire_att":
+            raise ValueError(
+                "rewire() swaps the base graph; block='rewire_att' already "
+                "reselects edges every forward from its candidate set")
+        self.graph = new_graph
+        self.diffusion_graph = new_graph
+        self._solvers.clear()
+
     def _hard_att_weights(self, params, h0, training):
-        """Per-edge diffusion weights for block="hard_att" (frozen for
-        the solve; eval uses the unthresholded head mean, forward():108-111).
+        """Per-edge diffusion weights, frozen for the solve.
+
+        block="hard_att": eval uses the unthresholded head mean
+        (block_transformer_hard_attention.py forward():108-111), training
+        quantile-thresholds at att_samp_pct.
+        block="rewire_att": deterministic top-K selection over the static
+        candidate set, both modes (see the class docstring).
         """
-        att = self.hard_att.apply(params["hard_att"], h0, self.graph)
+        g = self.diffusion_graph
+        att = self.hard_att.apply(params["hard_att"], h0, g)
         mean_att = jnp.mean(att, axis=1)
-        if training:
+        if self.block == "rewire_att":
             if self.use_flux:
-                src, dst = self.graph.edge_index
+                src, dst = g.edge_index
+                delta = jnp.linalg.norm(h0[src] - h0[dst], axis=1)
+                mean_att = mean_att * delta
+            mean_att = rewire_topk_weights(
+                mean_att, g.edge_index, g.num_nodes, self.rewire_K,
+                self.attention_norm_idx)
+        elif training:
+            if self.use_flux:
+                src, dst = g.edge_index
                 delta = jnp.linalg.norm(h0[src] - h0[dst], axis=1)
                 mean_att = mean_att * delta
             mean_att = hard_attention_weights(
-                mean_att, self.graph.edge_index, self.graph.num_nodes,
+                mean_att, g.edge_index, g.num_nodes,
                 self.att_samp_pct, self.attention_norm_idx)
         return jax.lax.stop_gradient(mean_att)
+
+    def forward_encoder(self, params, x, pos_encoding=None):
+        """Encoded node features (graph_rewiring.py apply_KNN T0 mode:
+        kNN rewiring on ``model.forward_encoder(x)``)."""
+        return self._encode(params, x, pos_encoding)
+
+    def forward_ode(self, params, x, pos_encoding=None):
+        """Post-diffusion node state, pre-decoder (apply_KNN TN mode)."""
+        h0 = self._encode(params, x, pos_encoding)
+        y0, x0 = self._augment(h0)
+        ode = self._get_solver(y0.shape, y0.dtype, False)
+        p = {"func": params["func"], "x0": x0}
+        if self.hard_att is not None:
+            p["att_w"] = self._hard_att_weights(params, h0, False)
+        if self.block == "imex":
+            p = (p, p)
+        sol, _ = ode.solve(y0, np.array([0.0, self.T]), params=p,
+                           with_adjoint=False)
+        return self._readout(sol[-1])
 
     def _encode(self, params, x, pos_encoding):
         h = self.enc.apply(params["enc"], x)
@@ -592,18 +745,19 @@ class GRANDModel:
                 def f_ex(t, y, p):
                     x0 = jax.lax.stop_gradient(p["x0"])
                     a = nn.sigmoid(p["func"]["params"]["alpha_train"])
-                    return self.func.apply(p["func"], t, y, self.graph, x0) + a * y
+                    return self.func.apply(
+                        p["func"], t, y, self.diffusion_graph, x0) + a * y
 
                 ode.setupTS(
                     jnp.zeros(shape, dtype), (f_im, {}), func2=(f_ex, {}),
                     step_size=self.step_size, method="imex", imex_form=True,
                     implicit_form=True, enable_adjoint=training,
                 )
-            elif self.block == "hard_att":
+            elif self.block in ("hard_att", "rewire_att"):
                 def f(t, y, p):
                     x0 = jax.lax.stop_gradient(p["x0"])
                     return self.func.apply(
-                        p["func"], t, y, self.graph, x0,
+                        p["func"], t, y, self.diffusion_graph, x0,
                         att_w=jax.lax.stop_gradient(p["att_w"]))
 
                 ode.setupTS(
@@ -614,7 +768,8 @@ class GRANDModel:
             else:
                 def f(t, y, p):
                     x0 = jax.lax.stop_gradient(p["x0"])
-                    return self.func.apply(p["func"], t, y, self.graph, x0)
+                    return self.func.apply(p["func"], t, y,
+                                           self.diffusion_graph, x0)
 
                 ode.setupTS(
                     jnp.zeros(shape, dtype), (f, {}),

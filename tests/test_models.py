@@ -480,3 +480,110 @@ def test_grand_cgnn_baseline():
     for _ in range(15):
         p, s, l, _ = step(p, s)
     assert float(l) < float(l0)
+
+
+def test_grand_rewire_att_block():
+    """rewire_att block (block_transformer_rewiring.py redesigned as
+    static-shape top-K reweighting): exactly rewire_K candidates stay
+    live, weights renormalize over each live node's incidences, the
+    candidate set is base ∪ two-hop, the attention carries no gradient,
+    and the model trains."""
+    import optax
+
+    from pnode_tpu.models.grand import GRANDModel, two_hop
+
+    data = synthetic_sbm(n_nodes=60, n_classes=3, feat_dim=8, seed=6)
+    g = get_rw_adj(data["edge_index"], 60)
+    model = GRANDModel(g, 8, 16, 3, function="laplacian",
+                       block="rewire_att", T=1.0, step_size=0.5,
+                       method="rk4", rw_addD=0.3)
+    E_base = g.edge_index.shape[1]
+    E_cand = model.diffusion_graph.edge_index.shape[1]
+    cand = np.asarray(model.diffusion_graph.edge_index)
+    want = two_hop(np.asarray(g.edge_index), 60)
+    np.testing.assert_array_equal(np.sort(cand, axis=1),
+                                  np.sort(want, axis=1))
+    assert model.rewire_K == min(E_cand, round(E_base * 1.3))
+
+    x = jnp.asarray(data["x"])
+    y = jnp.asarray(data["y"])
+    params = model.init(jax.random.PRNGKey(0), x)
+    h0 = model.enc.apply(params["enc"], x)
+    for training in (True, False):  # deterministic top-K in BOTH modes
+        w = np.asarray(model._hard_att_weights(params, h0, training))
+        assert w.shape == (E_cand,)
+        kept = int((w > 0).sum())
+        # >= rewire_K live edges (score ties keep extras; typically exact)
+        assert model.rewire_K <= kept <= model.rewire_K + 5
+        seg = np.asarray(model.diffusion_graph.edge_index[0])
+        sums = np.zeros(60)
+        np.add.at(sums, seg, w)
+        touched = np.unique(seg[w > 0])
+        np.testing.assert_allclose(sums[touched], 1.0, rtol=1e-5)
+
+    opt = optax.adam(1e-2)
+    s = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss(pp):
+            logits = model.apply(pp, x, training=True,
+                                 rng=jax.random.PRNGKey(0))
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            )
+
+        l, grad = jax.value_and_grad(loss)(p)
+        u, s2 = opt.update(grad, s)
+        return optax.apply_updates(p, u), s2, l, grad
+
+    p, s, l0, grad = step(params, s)
+    att_g = jax.tree_util.tree_leaves(grad["hard_att"])
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in att_g)
+    for _ in range(15):
+        p, s, l, _ = step(p, s)
+    assert float(l) < float(l0)
+
+
+def test_grand_knn_graph_and_rewire():
+    """knn_graph: exactly N*k edges, each node's neighbor set = its k
+    nearest by euclidean distance (self included, matching sklearn's
+    kneighbors query in distances_kNN.py). model.rewire() swaps the
+    graph, clears the solver cache, and the rewired model still trains.
+    """
+    from pnode_tpu.models.grand import GRANDModel, knn_graph
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(40, 5))
+    k = 4
+    ei = knn_graph(pts, k)
+    assert ei.shape == (2, 40 * k)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    for i in range(40):
+        got = set(ei[1][ei[0] == i].tolist())
+        want = set(np.argsort(d2[i])[:k].tolist())
+        # ties at the k-th distance make either choice valid
+        assert len(got) == k
+        cutoff = np.sort(d2[i])[k - 1]
+        assert all(d2[i][j] <= cutoff + 1e-12 for j in got)
+
+    data = synthetic_sbm(n_nodes=60, n_classes=3, feat_dim=8, seed=6)
+    g = get_rw_adj(data["edge_index"], 60)
+    model = GRANDModel(g, 8, 16, 3, function="laplacian", block="pnode",
+                       T=1.0, step_size=0.5, method="rk4")
+    x = jnp.asarray(data["x"])
+    params = model.init(jax.random.PRNGKey(0), x)
+    logits_before = model.apply(params, x, training=False)
+    new_g = get_rw_adj(knn_graph(np.asarray(x), 6), 60)
+    model.rewire(new_g)
+    assert not model._solvers
+    logits_after = model.apply(params, x, training=False)
+    assert logits_after.shape == logits_before.shape
+    assert not np.allclose(np.asarray(logits_after),
+                           np.asarray(logits_before))
+
+    # rewire() is the base-graph path; the rewire_att block self-rewires
+    m2 = GRANDModel(g, 8, 16, 3, function="laplacian", block="rewire_att",
+                    T=1.0, step_size=0.5, method="rk4")
+    with pytest.raises(ValueError, match="rewire"):
+        m2.rewire(new_g)
