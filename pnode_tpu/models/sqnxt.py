@@ -267,10 +267,11 @@ class SqueezeNextODE:
     def _fused_meta(self, mod, shape, dtype):
         """fused-kernel meta for this stage, or None (gated off).
 
-        Gate: mode off, pallas unavailable, or the backward kernel's
-        estimated resident set beyond the raised VMEM limit
-        (ops/vmem.py — at CIFAR shapes stage 1 (c=32@32x32, b128)
-        exceeds it and keeps the XLA path; stages 2-3 fuse)."""
+        Ladder (``use_pallas="auto"``): whole-chain kernel when its
+        backward resident set fits the raised VMEM limit (ops/vmem.py);
+        else LAYERED mode (one kernel per layer, full-N exact batch
+        stats — this is what fuses CIFAR stage 1, c=32@32x32 b128, whose
+        chain kernel needs ~170 MB); else the XLA path."""
         if self.use_pallas == "off":
             return None
         from ..ops import fused_sqnxt as fs
@@ -283,7 +284,10 @@ class SqueezeNextODE:
         meta = fs.make_meta(mod.dim, B, H, W, dtype, interpret=interp)
         if (self.use_pallas == "auto"
                 and fs.vmem_estimate_bytes(meta) > vmem_limit_bytes()):
-            return None
+            meta = fs.make_meta(mod.dim, B, H, W, dtype,
+                                interpret=interp, layered=True)
+            if fs.vmem_estimate_layered_bytes(meta) > vmem_limit_bytes():
+                return None
         return meta
 
     def _ode_solver_fused(self, mod, meta, dtype):

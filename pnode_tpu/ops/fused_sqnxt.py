@@ -71,10 +71,18 @@ class SqnxtMeta(NamedTuple):
     n_pad: int
     dtype: str
     interpret: bool
+    # layered mode: one Pallas kernel PER LAYER instead of the whole
+    # 5-layer chain in one kernel. Each layer kernel still sees the full
+    # N axis, so the batch statistics stay exact with no cross-tile
+    # machinery; only one layer's buffers are VMEM-resident at a time,
+    # which is what lets the big stage-1 shape (c=32 @ 32x32 x b128)
+    # fuse at all. Costs vs the chain kernel: the inter-layer activation
+    # round-trips HBM and each eval pays 5 launches instead of 1.
+    layered: bool = False
 
 
 def make_meta(dim: int, B: int, H: int, W: int, dtype,
-              interpret: bool = False) -> SqnxtMeta:
+              interpret: bool = False, layered: bool = False) -> SqnxtMeta:
     """Chain spec for ODEDynamics(dim): 1x1 D->c1, 1x1 c1->c2, (1,3)
     c2->c1, (3,1) c1->c1, 1x1 c1->D (sqnxt_PETSc.py BasicBlock2)."""
     c1, c2 = int(dim * 0.5), int(dim * 0.25)
@@ -85,7 +93,8 @@ def make_meta(dim: int, B: int, H: int, W: int, dtype,
     n_pad = int(np.ceil(n_real / 128) * 128)
     single = tuple(n_real * c >= _SINGLE_PASS_MIN for c in cdims[1:])
     return SqnxtMeta(taps, axis, cdims, single, H, W, n_real, n_pad,
-                     jnp.dtype(dtype).name, bool(interpret))
+                     jnp.dtype(dtype).name, bool(interpret),
+                     bool(layered))
 
 
 def _lane_shift(h, s):
@@ -402,13 +411,17 @@ def pack_params(params, meta: SqnxtMeta, dtype) -> Tuple[jnp.ndarray, ...]:
 
 
 def fused_sqnxt_dyn(x_cn: jnp.ndarray, params, meta: SqnxtMeta):
-    """Evaluate the ODEDynamics chain on a (C, N) state in ONE kernel.
+    """Evaluate the ODEDynamics chain on a (C, N) state in ONE kernel
+    (``meta.layered``: one kernel per layer — big-stage shapes whose full
+    chain exceeds VMEM).
 
     x_cn: (dim, n_pad) activation-dtype array (lane-padded); params: the
     flax ODEDynamics variables. Returns (dim, n_pad). Differentiable wrt
     both.
     """
     flat = pack_params(params, meta, x_cn.dtype)
+    if meta.layered:
+        return _core_layered(x_cn, flat, meta)
     return _core(x_cn, flat, meta)
 
 
@@ -444,3 +457,194 @@ def xla_reference(x_cn, params, meta: SqnxtMeta):
         z32 = _conv_apply(h, Ws, meta, li, masks)
         h, _, _, _ = _layer_fwd(h, z32, b, gam, bet, meta, li, valid)
     return h
+
+
+# ---------------------------------------------------------------------------
+# Layered mode: one kernel per layer (stage-1 shapes).
+#
+# The chain kernel holds x/g/dx + all five recompute anchors + live f32
+# temps resident at once; at the CIFAR stage-1 shape (c=32 @ 32x32 x b128,
+# N = 131072 lanes) that exceeds the ~120 MB measured VMEM budget and the
+# gate keeps the XLA path (models/sqnxt.py). Layered mode splits the chain
+# at layer boundaries: each kernel evaluates conv -> bias -> batch-stats
+# norm -> relu for ONE layer with the FULL N axis resident, so the batch
+# statistics are computed exactly inside the kernel — no grid tiling, no
+# cross-tile partial-sum machinery — and the resident set is one layer's
+# buffers (~3-6 x C*N) instead of the whole chain's. The inter-layer
+# activation round-trips HBM (the XLA path round-trips EVERY op, ~13 per
+# eval, so layered still cuts traffic ~2x and op count ~2.5x). Backward:
+# one kernel per layer in reverse, recomputing z_l from the saved layer
+# input (same recompute-from-anchor strategy as the chain kernel, at
+# per-layer granularity); full-N reductions for the norm backward happen
+# in-kernel, exactly.
+# ---------------------------------------------------------------------------
+
+
+def vmem_estimate_layered_bytes(meta: SqnxtMeta) -> int:
+    """Resident-set model for the WORST single-layer backward kernel:
+    h_in + g_out + dh + recomputed z (dtype) + ~4 live f32 temps at the
+    wider of (Cin, Cout)."""
+    esize = 2 if meta.dtype == "bfloat16" else 4
+
+    def buf(c, e=esize):
+        rows = max(c, 16 if e == 2 else 8)
+        return rows * meta.n_pad * e
+
+    worst = 0
+    for li in range(5):
+        cin, cout = meta.cdims[li], meta.cdims[li + 1]
+        tot = buf(cin) + buf(cout) + buf(cin)      # h_in, g, dh
+        tot += buf(cout)                           # z anchor (dtype)
+        tot += 4 * buf(max(cin, cout), 4)          # live f32 temps
+        worst = max(worst, tot)
+    return int(worst)
+
+
+def _layer_flat_slice(meta: SqnxtMeta, li: int):
+    base = sum(len(meta.taps[k]) + 3 for k in range(li))
+    return base, len(meta.taps[li]) + 3
+
+
+def _fwd_layer_kernel(meta, li, h_ref, *refs):
+    n_p = len(meta.taps[li]) + 3
+    flat = [r[:] for r in refs[:n_p]]
+    out_ref = refs[n_p]
+    Ws = flat[: len(meta.taps[li])]
+    b, gam, bet = flat[-3:]
+    masks = _tap_masks(meta, h_ref.dtype)
+    valid = _valid_mask(meta, jnp.float32)
+    z32 = _conv_apply(h_ref[:], Ws, meta, li, masks)
+    h_next, _, _, _ = _layer_fwd(h_ref[:], z32, b, gam, bet, meta, li,
+                                 valid)
+    out_ref[:] = h_next
+
+
+def _bwd_layer_kernel(meta, li, h_ref, g_ref, *refs):
+    """Single-layer backward: recompute z_l from the saved layer input,
+    then the same stage-exact backprop block as the chain kernel."""
+    n_p = len(meta.taps[li]) + 3
+    flat = [r[:] for r in refs[:n_p]]
+    dh_ref = refs[n_p]
+    drefs = refs[n_p + 1: n_p + 1 + n_p]
+    Ws = flat[: len(meta.taps[li])]
+    b, gam, bet = flat[-3:]
+    dt = h_ref.dtype
+    masks = _tap_masks(meta, dt)
+    valid = _valid_mask(meta, jnp.float32)
+
+    h_prev = h_ref[:]
+    z32 = _conv_apply(h_prev, Ws, meta, li, masks)
+    _, z_d, m, sr = _layer_fwd(h_prev, z32, b, gam, bet, meta, li, valid)
+
+    g = g_ref[:]
+    zf = z_d.astype(jnp.float32)
+    zh = (zf - m) / sr
+    a_d = (zh * gam + bet).astype(dt)
+    g_a = jnp.where(a_d.astype(jnp.float32) > 0, g, 0).astype(jnp.float32)
+    if valid is not None:
+        g_a = g_a * valid
+    d_gam = jnp.sum(g_a * zh, axis=1, keepdims=True)
+    d_bet = jnp.sum(g_a, axis=1, keepdims=True)
+    g_zh = g_a * gam
+    inv_n = 1.0 / meta.n_real
+    c1 = jnp.sum(g_zh, axis=1, keepdims=True) * inv_n
+    c2 = jnp.sum(g_zh * zh, axis=1, keepdims=True) * inv_n
+    g_z32 = (g_zh - c1 - zh * c2) / sr
+    if valid is not None:
+        g_z32 = g_z32 * valid
+    g_zd = g_z32.astype(dt)
+    d_b = jnp.sum(g_zd.astype(jnp.float32), axis=1, keepdims=True)
+    g_h = None
+    d_Ws = []
+    for t, s in enumerate(meta.taps[li]):
+        hk = _lane_shift(h_prev, s)
+        if s != 0:
+            s_img = 1 if s > 0 else -1
+            mk = masks[(meta.axis[li], s_img)]
+            hk = hk * mk
+        dW = jax.lax.dot_general(
+            g_zd, hk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_Ws.append(dW.astype(dt).astype(jnp.float32))
+        gk = jax.lax.dot_general(
+            Ws[t], g_zd, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if s != 0:
+            gk = gk * masks[(meta.axis[li], 1 if s > 0 else -1)
+                            ].astype(jnp.float32)
+            gk = _lane_shift(gk, -s)
+        g_h = gk if g_h is None else g_h + gk
+    dh_ref[:] = g_h.astype(dt)
+    dflat = d_Ws + [d_b, d_gam, d_bet]
+    for r, v in zip(drefs, dflat):
+        r[:] = v.astype(r.dtype)
+
+
+def _call_layer_fwd(h, layer_flat, meta, li):
+    from .vmem import tpu_compiler_params
+
+    cout = meta.cdims[li + 1]
+    return pl.pallas_call(
+        functools.partial(_fwd_layer_kernel, meta, li),
+        out_shape=jax.ShapeDtypeStruct((cout, meta.n_pad), h.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+            1 + len(layer_flat)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=meta.interpret,
+        **({} if meta.interpret else
+           {"compiler_params": tpu_compiler_params()}),
+    )(h, *layer_flat)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _core_layered(x, flat, meta):
+    h = x
+    for li in range(5):
+        base, n_p = _layer_flat_slice(meta, li)
+        h = _call_layer_fwd(h, flat[base: base + n_p], meta, li)
+    return h
+
+
+def _core_layered_fwd(x, flat, meta):
+    hs = []
+    h = x
+    for li in range(5):
+        hs.append(h)
+        base, n_p = _layer_flat_slice(meta, li)
+        h = _call_layer_fwd(h, flat[base: base + n_p], meta, li)
+    return h, (tuple(hs), flat)
+
+
+def _core_layered_bwd(meta, res, g):
+    from .vmem import tpu_compiler_params
+
+    hs, flat = res
+    dflat = [None] * len(flat)
+    for li in range(4, -1, -1):
+        base, n_p = _layer_flat_slice(meta, li)
+        layer_flat = flat[base: base + n_p]
+        cin = meta.cdims[li]
+        out_shapes = [jax.ShapeDtypeStruct((cin, meta.n_pad), g.dtype)]
+        for f in layer_flat:
+            out_shapes.append(jax.ShapeDtypeStruct(f.shape, jnp.float32))
+        outs = pl.pallas_call(
+            functools.partial(_bwd_layer_kernel, meta, li),
+            out_shape=tuple(out_shapes),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+                2 + n_p),
+            out_specs=tuple(
+                pl.BlockSpec(memory_space=pltpu.VMEM)
+                for _ in out_shapes),
+            interpret=meta.interpret,
+            **({} if meta.interpret else
+               {"compiler_params": tpu_compiler_params()}),
+        )(hs[li], g, *layer_flat)
+        g = outs[0]
+        for k, (o, f) in enumerate(zip(outs[1:], layer_flat)):
+            dflat[base + k] = o.astype(f.dtype)
+    return g, tuple(dflat)
+
+
+_core_layered.defvjp(_core_layered_fwd, _core_layered_bwd)

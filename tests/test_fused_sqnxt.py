@@ -208,3 +208,100 @@ def test_vmem_estimate_monotone():
     m1 = fs.make_meta(32, 128, 32, 32, jnp.bfloat16)
     m2 = fs.make_meta(128, 128, 8, 8, jnp.bfloat16)
     assert fs.vmem_estimate_bytes(m1) > fs.vmem_estimate_bytes(m2)
+
+
+@pytest.mark.parametrize("shape", [(4, 8, 8, 16), (2, 5, 5, 16)])
+def test_layered_fwd_matches_flax(shape):
+    """Layered mode (one kernel per layer, full-N in-kernel batch stats)
+    == flax module forward, including lane-padded N."""
+    B, H, W, dim = shape
+    mod, params, x, meta = _setup(dim, B, H, W)
+    meta = meta._replace(layered=True)
+    ref = mod.apply(params, 0.0, x)
+    out = fs.from_cn(
+        fs.fused_sqnxt_dyn(fs.to_cn(x, meta), params, meta), B, H, W
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_layered_grad_matches_flax():
+    """Layered custom VJP == autodiff through the flax module (f32),
+    state and every parameter."""
+    dim, B, H, W = 16, 4, 8, 8
+    mod, params, x, meta = _setup(dim, B, H, W, seed=2)
+    meta = meta._replace(layered=True)
+    w = jnp.asarray(
+        np.random.default_rng(9).normal(size=(B, H, W, dim))
+        .astype("float32"))
+
+    def loss_ref(p, xx):
+        return jnp.sum(mod.apply(p, 0.0, xx) * w)
+
+    def loss_fused(p, xx):
+        out = fs.from_cn(
+            fs.fused_sqnxt_dyn(fs.to_cn(xx, meta), p, meta), B, H, W
+        )
+        return jnp.sum(out * w)
+
+    l0, (gp0, gx0) = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        params, x)
+    l1, (gp1, gx1) = jax.value_and_grad(loss_fused, argnums=(0, 1))(
+        params, x)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
+                               rtol=2e-4, atol=2e-5)
+    flat0 = jax.tree_util.tree_leaves_with_path(gp0)
+    flat1 = jax.tree_util.tree_leaves_with_path(gp1)
+    assert len(flat0) == len(flat1)
+    for (k0, v0), (k1, v1) in zip(flat0, flat1):
+        key = jax.tree_util.keystr(k0)
+        if "Conv" in key and key.endswith("['bias']"):
+            np.testing.assert_allclose(np.asarray(v1), 0, atol=5e-4)
+            continue
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v0), rtol=2e-4, atol=2e-5,
+            err_msg=key)
+
+
+def test_layered_equals_chain_kernel():
+    """Layered and chain modes are the same math: identical outputs and
+    gradients (both interpret)."""
+    dim, B, H, W = 16, 4, 8, 8
+    mod, params, x, meta = _setup(dim, B, H, W, seed=5)
+    w = jnp.asarray(
+        np.random.default_rng(2).normal(size=(B, H, W, dim))
+        .astype("float32"))
+
+    outs = {}
+    for layered in (False, True):
+        m = meta._replace(layered=layered)
+
+        def loss(p, xx, m=m):
+            out = fs.from_cn(
+                fs.fused_sqnxt_dyn(fs.to_cn(xx, m), p, m), B, H, W)
+            return jnp.sum(out * w)
+
+        outs[layered] = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(float(outs[True][0]), float(outs[False][0]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[True][1]),
+                    jax.tree_util.tree_leaves(outs[False][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_stage1_gate_picks_layered():
+    """The auto ladder: CIFAR stage 1 (c=32@32x32, b128, bf16) exceeds
+    the chain kernel's VMEM estimate but fits layered mode — the model
+    gate must return a layered meta there, and a chain meta for the
+    small stages."""
+    from pnode_tpu.ops.vmem import vmem_limit_bytes
+
+    m_chain = fs.make_meta(32, 128, 32, 32, jnp.bfloat16)
+    assert fs.vmem_estimate_bytes(m_chain) > vmem_limit_bytes()
+    m_lay = fs.make_meta(32, 128, 32, 32, jnp.bfloat16, layered=True)
+    assert fs.vmem_estimate_layered_bytes(m_lay) <= vmem_limit_bytes()
+    # stage 2 (c=64@16x16): chain fits, stays unlayered
+    m2 = fs.make_meta(64, 128, 16, 16, jnp.bfloat16)
+    assert fs.vmem_estimate_bytes(m2) <= vmem_limit_bytes()
