@@ -252,48 +252,107 @@ def main() -> int:
         gate("FFJORD image CNF trains", finite and nll1 < nll0,
              f"fixed-key nll {nll0:.3f} -> {nll1:.3f}, grads finite={finite}")
 
-        # -- 6. GRAND on the chip --------------------------------------------
+        # -- 6. GRAND on the chip: one trains-and-improves gate per
+        #       function/block family --------------------------------------
         from pnode_tpu.models.grand import (
-            GRANDModel, get_rw_adj, synthetic_sbm,
+            GRANDModel, gcn_norm_adj, get_rw_adj, synthetic_sbm,
         )
 
         pnode_tpu.clear_options()
         data = synthetic_sbm(n_nodes=96, n_classes=3, feat_dim=16, seed=0)
         graph = get_rw_adj(data["edge_index"], 96)
-        gm = GRANDModel(graph, 16, 16, 3, function="transformer",
-                        block="pnode", T=1.0, step_size=0.25,
-                        method="dopri5", input_dropout=0.0, dropout=0.0)
+        graph_gcn = gcn_norm_adj(data["edge_index"], 96)
         xg = jnp.asarray(data["x"], jnp.float32)
         yg = jnp.asarray(data["y"])
-        p_g = gm.init(jax.random.PRNGKey(4), xg)
-        optg = optax.adam(5e-3)
-        s_g = optg.init(p_g)
+        families = [
+            ("transformer/pnode",
+             dict(function="transformer", block="pnode"), graph),
+            ("gat/pnode", dict(function="gat", block="pnode"), graph),
+            ("hbnode/heavyball",
+             dict(function="hbnode", block="heavyball"), graph),
+            ("cgnn/pnode", dict(function="cgnn", block="pnode"), graph_gcn),
+            ("laplacian/hard_att",
+             dict(function="laplacian", block="hard_att",
+                  att_samp_pct=0.7), graph),
+            ("laplacian/rewire_att",
+             dict(function="laplacian", block="rewire_att",
+                  rw_addD=0.25), graph),
+        ]
+        for fam_name, fam_kw, fam_graph in families:
+            gm = GRANDModel(fam_graph, 16, 16, 3, T=1.0, step_size=0.25,
+                            method="dopri5", input_dropout=0.0,
+                            dropout=0.0, **fam_kw)
+            p_g = gm.init(jax.random.PRNGKey(4), xg)
+            optg = optax.adam(5e-3)
+            s_g = optg.init(p_g)
+
+            @jax.jit
+            def grand_step(p, s, gm=gm):
+                def ce(pp):
+                    # training=True, rng=None: adjoint path + hard/rewire
+                    # attention selection engaged, dropout off
+                    logits = gm.apply(pp, xg, training=True)
+                    oh = jax.nn.one_hot(yg, 3)
+                    return -jnp.mean(
+                        jnp.sum(oh * jax.nn.log_softmax(logits), -1)
+                    )
+
+                loss, g = jax.value_and_grad(ce)(p)
+                up, s = optg.update(g, s)
+                return optax.apply_updates(p, up), s, loss, g
+
+            glosses = []
+            gfinite = True
+            for _ in range(8):
+                p_g, s_g, lv, g = grand_step(p_g, s_g)
+                glosses.append(float(lv))
+                gfinite = gfinite and all(
+                    bool(jnp.all(jnp.isfinite(a)))
+                    for a in jax.tree_util.tree_leaves(g)
+                )
+            gate(f"GRAND {fam_name} trains",
+                 gfinite and glosses[-1] < glosses[0],
+                 f"ce {glosses[0]:.3f} -> {glosses[-1]:.3f}, "
+                 f"grads finite={gfinite}")
+
+        # -- 6b. GRAND image GNN on the chip -------------------------------
+        from pnode_tpu.models.grand_image import GRANDImage
+
+        Hh = Wh = 8
+        rng_i = np.random.default_rng(0)
+        Bi = 32
+        ysn = rng_i.integers(0, 4, size=Bi)
+        xsn = np.zeros((Bi, Hh, Wh, 1), np.float32)
+        for i, c in enumerate(ysn):
+            oy, ox = (c // 2) * 4, (c % 2) * 4
+            xsn[i, oy + 1: oy + 3, ox + 1: ox + 3, 0] = 1.0
+        xsn += rng_i.normal(scale=0.15, size=xsn.shape).astype(np.float32)
+        xi, yi = jnp.asarray(xsn), jnp.asarray(ysn)
+        gim = GRANDImage(Hh, Wh, 4, T=1.0, step_size=0.25, method="rk4",
+                         input_dropout=0.0, dropout=0.0)
+        p_i = gim.init(jax.random.PRNGKey(0), xi)
+        opti = optax.adam(5e-2)
+        s_i = opti.init(p_i)
 
         @jax.jit
-        def grand_step(p, s):
+        def img_step(p, s):
             def ce(pp):
-                logits = gm.apply(pp, xg, training=False)
-                oh = jax.nn.one_hot(yg, 3)
+                logits = gim.apply(pp, xi, training=True)
+                oh = jax.nn.one_hot(yi, 4)
                 return -jnp.mean(
-                    jnp.sum(oh * jax.nn.log_softmax(logits), -1)
-                )
+                    jnp.sum(oh * jax.nn.log_softmax(logits), -1))
 
             loss, g = jax.value_and_grad(ce)(p)
-            up, s = optg.update(g, s)
-            return optax.apply_updates(p, up), s, loss, g
+            up, s = opti.update(g, s)
+            return optax.apply_updates(p, up), s, loss
 
-        glosses = []
-        gfinite = True
-        for _ in range(8):
-            p_g, s_g, lv, g = grand_step(p_g, s_g)
-            glosses.append(float(lv))
-            gfinite = gfinite and all(
-                bool(jnp.all(jnp.isfinite(a)))
-                for a in jax.tree_util.tree_leaves(g)
-            )
-        gate("GRAND trains", gfinite and glosses[-1] < glosses[0],
-             f"ce {glosses[0]:.3f} -> {glosses[-1]:.3f}, "
-             f"grads finite={gfinite}")
+        ilosses = []
+        for _ in range(12):
+            p_i, s_i, lv = img_step(p_i, s_i)
+            ilosses.append(float(lv))
+        gate("GRAND image GNN trains",
+             np.all(np.isfinite(ilosses)) and ilosses[-1] < ilosses[0],
+             f"ce {ilosses[0]:.3f} -> {ilosses[-1]:.3f}")
 
     # -- 7. fused training-LOOP kernel vs jitted generic loop ----------------
     import optax as _optax
