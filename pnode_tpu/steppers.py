@@ -705,6 +705,39 @@ class ARKIMEX:
                 err = err + (dt * dE) * kE[i]
         return y1, err, aux, stats
 
+    def _spectral_stage_basis(self, J0):
+        """Eigenbasis ``(lam, Q)`` of the frozen J for per-trial stage
+        inverses, or None (inline-LU fallback).
+
+        The adaptive controller needs ``(I - dt*gamma*J)^{-1}`` at a dt
+        that varies per trial step. ``jnp.linalg.inv`` is an LU — a
+        pivoting, serialized O(d^3) op the TPU executes poorly inside the
+        trial scan. When J is a compile-time constant (frozen,
+        parameter-free linear implicit part — the production stiff-PDE
+        configuration) and symmetric (KS/Burgers periodic stencils), one
+        eager fp64 ``eigh`` at first use rewrites every trial inverse as
+        ``Q diag(1/(1 - dt*gamma*lam)) Q^T`` — two d x d MXU matmuls.
+        Exact in exact arithmetic; the fp64 basis is validated by
+        reconstruction before use. Memoized on the prepared stepper
+        (J is fixed for its lifetime)."""
+        memo = getattr(self, "_spectral_memo", None)
+        if memo is not None:
+            return memo[0]
+        if isinstance(J0, jax.core.Tracer):
+            return None  # not memoized: a later concrete prepare may hit
+        Jh = np.asarray(J0, dtype=np.float64)
+        scale = float(np.max(np.abs(Jh))) or 1.0
+        basis = None
+        if float(np.max(np.abs(Jh - Jh.T))) <= 1e-6 * scale:
+            lam, Q = np.linalg.eigh(Jh)
+            rec = float(np.max(np.abs((Q * lam) @ Q.T - Jh)))
+            if rec <= 1e-10 * scale:
+                npdt = np.dtype(str(J0.dtype))
+                basis = (jnp.asarray(lam.astype(npdt)),
+                         jnp.asarray(Q.astype(npdt)))
+        self._spectral_memo = (basis,)
+        return basis
+
     def _fused_reverse_args(self, params, dt=None, for_reverse=True):
         """Static gate for the single-kernel fused steps.
 
@@ -762,13 +795,23 @@ class ARKIMEX:
             if dt is None:
                 return None
             J0 = setup.frozen_J_blocks[0]
-            d0 = J0.shape[-1]
+            spec_basis = self._spectral_stage_basis(J0)
             # HIGHEST: same guard as DenseStageSolver — the TPU bf16 matmul
             # default corrupts the inverse of stiff operators
             with jax.default_matmul_precision("highest"):
-                inv_op = jnp.linalg.inv(
-                    jnp.eye(d0, dtype=J0.dtype) - (dt * gamma) * J0
-                )
+                if spec_basis is not None:
+                    # spectral form: (I - dt*g*J)^{-1} = Q diag(w) Q^T with
+                    # w = 1/(1 - dt*g*lam) — two MXU matmuls per trial step
+                    # instead of an LU inverse serialized inside the trial
+                    # scan (the adaptive controller's dt varies per trial)
+                    lam_e, Q = spec_basis
+                    w = 1.0 / (1.0 - (dt * gamma) * lam_e)
+                    inv_op = (Q * w) @ Q.T
+                else:
+                    d0 = J0.shape[-1]
+                    inv_op = jnp.linalg.inv(
+                        jnp.eye(d0, dtype=J0.dtype) - (dt * gamma) * J0
+                    )
         params_im, params_ex = params
         if len(jax.tree_util.tree_leaves(params_im)) != 0:
             return None
