@@ -462,6 +462,173 @@ def bench_sinode(args, nx, batch, dt, metric):
     return med * inner, best * inner, info
 
 
+def _try_fused_adaptive(args, ode, params, vex, y_tmpl, batch, nx, dt,
+                        dt_first):
+    """Fused adaptive-LOOP path for bench_adaptive, or None if the gate
+    fails. Protocol mirrors the engine path: fresh minibatch per
+    iteration, dt_first warm start (intra-launch inside the kernel,
+    cross-launch via the returned stats), per-window state reset, and the
+    completed/trial-demand audit. The trial axis is auto-sized from the
+    KERNEL's own warm demand (a probe launch): near accept boundaries the
+    kernel's bf16-rounded error estimate can legitimately land a
+    different-but-tolerance-valid trial sequence than the engine, and the
+    static axis must cover THIS path's demand."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import pnode_tpu
+    from pnode_tpu.ops.fused_adaptive_loop import (
+        fused_adaptive_loop_cost,
+        fused_adaptive_loop_fits,
+        fused_adaptive_train_loop,
+    )
+
+    vim, _ = params
+    if len(jax.tree_util.tree_leaves(vim)) != 0:
+        return None
+    stp = ode._stepper.prepare(0.0, y_tmpl, params, dt0=None)
+    if getattr(stp, "fused_ex_spec", None) is None:
+        return None
+    spec = stp.fused_ex_spec(vex)
+    setup = stp.setup
+    if (spec is None or setup.frozen_J_blocks is None
+            or setup.frozen_J_blocks.shape[0] != 1):
+        return None
+    gammas = {g for g in (float(x) for x in np.diag(stp.tab.a_im))
+              if g != 0.0}
+    if len(gammas) != 1:
+        return None
+    gamma = next(iter(gammas))
+    J = setup.frozen_J_blocks[0]
+    basis = stp._spectral_stage_basis(J)
+    if basis is None:
+        return None
+    lam, Q = basis
+    rtol = ode.opts.get_float("ts_rtol", 1e-4)
+    atol = ode.opts.get_float("ts_atol", 1e-4)
+    max_trials = ode.opts.get_int("ts_adapt_max_steps", 32)
+    dims = [int(w.shape[1]) for w in spec["Ws"]]
+    if not fused_adaptive_loop_fits(batch, nx, dims, max_trials):
+        return None
+    tbl = (stp._aI, stp._aE, stp._bI, stp._bE, stp._bIe, stp._bEe)
+    Ws, bs = list(spec["Ws"]), list(spec["bs"])
+    zW = [jnp.zeros_like(w) for w in Ws]
+    zb = [jnp.zeros_like(b) for b in bs]
+    inner = max(1, int(args.inner_steps) or 400)
+    dtype = jnp.float32
+
+    def make_stacks(key, k):
+        ka, kb = jax.random.split(key)
+        y = jax.random.normal(ka, (k, batch, nx), dtype)
+        return y, y + 0.05 * jax.random.normal(kb, (k, batch, nx), dtype)
+
+    def launch(y_s, t_s, Ws, bs, m, v, t0, dt0, mt):
+        return fused_adaptive_train_loop(
+            tbl, gamma, lam, Q, J, dt, dt0, y_s, t_s, Ws, bs, m, v, t0,
+            mt, rtol=rtol, atol=atol, order=stp.tab.order,
+            activation=spec["activation"],
+            sign=spec["sign"], lr=1e-4, stiff_prec="highest",
+        )
+
+    # probe launch: the kernel's OWN warm demand sizes the trial axis
+    yp, tp = make_stacks(jax.random.PRNGKey(2), 8)
+    outs = launch(yp, tp, Ws, bs, (zW, zb), (zW, zb), 0,
+                  jnp.float32(dt_first), max_trials)
+    st = outs[5]
+    probe_trials = np.asarray(st["accepted"] + st["rejected"], np.int64)
+    probe_ok = bool(np.all(np.asarray(st["completed"]) == 1.0))
+    if not probe_ok:
+        print("fused adaptive probe exhausted the trial axis "
+              f"({max_trials}); engine path", file=sys.stderr)
+        return None
+    from pnode_tpu.options import Options
+
+    if not Options("").has("ts_adapt_max_steps"):
+        auto = int(probe_trials.max()) + 8
+        print(f"fused-loop trial axis auto-sized to {auto} (kernel warm "
+              f"demand {int(probe_trials.max())} + 8 margin)",
+              file=sys.stderr)
+        max_trials = auto
+        if not fused_adaptive_loop_fits(batch, nx, dims, max_trials):
+            return None
+
+    key0 = jax.random.PRNGKey(1)
+    y_stack, tgt_stack = make_stacks(key0, inner)
+    dt0_dev = jnp.float32(dt_first)
+
+    t0 = time.time()
+    jl = jax.jit(launch, static_argnums=(8,))
+    lowered = jl.lower(y_stack, tgt_stack, Ws, bs, (zW, zb), (zW, zb),
+                       0, dt0_dev, max_trials)
+    trace_s = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    compile_s = time.time() - t0
+    print(f"fused adaptive loop trace: {trace_s:.1f}s  "
+          f"compile: {compile_s:.1f}s", file=sys.stderr)
+
+    init_state = (Ws, bs, (zW, zb), (zW, zb), 0, dt0_dev)
+    state = {"w": init_state, "stats": []}
+
+    def step():
+        Ws_c, bs_c, m, v, t_ad, dt0c = state["w"]
+        o = compiled(y_stack, tgt_stack, Ws_c, bs_c, m, v, t_ad, dt0c)
+        st = o[5]
+        # cross-launch dt warm start: last iteration's first-accepted dt
+        # (stays on device; no host sync in the timed loop)
+        state["w"] = (o[0], o[1], o[2], o[3], t_ad + inner,
+                      st["dt_first"][-1])
+        state["stats"].append(st)
+        return o[4]
+
+    t0 = time.time()
+    first = _sync(step())
+    print(f"first launch: {time.time()-t0:.1f}s  "
+          f"mean loss={float(np.mean(np.asarray(first))):.4g}",
+          file=sys.stderr)
+    _sync(step())
+
+    audits = []
+
+    def _reset(rep):
+        stats = state["stats"]
+        comp = all(bool(np.all(np.asarray(s["completed"]) == 1.0))
+                   for s in stats)
+        peak = max(int(np.max(np.asarray(s["accepted"] + s["rejected"])))
+                   for s in stats) if stats else 0
+        audits.append((comp, peak))
+        print(f"  window {rep}: completed={comp} peak trial demand {peak}",
+              file=sys.stderr)
+        state["w"] = init_state
+        state["stats"] = []
+
+    n_steps = 10 if args.quick else args.steps
+    med, best = _windows(step, n_steps, args.windows, per_window=_reset)
+    completed = all(a[0] for a in audits)
+    max_trials_used = max(a[1] for a in audits)
+    if not completed:
+        print("WARNING: a timed-window launch exhausted the trial axis — "
+              "numbers below are invalid", file=sys.stderr)
+
+    efl, eby = fused_adaptive_loop_cost(
+        (stp._aI, stp._aE, stp._bI, stp._bE), batch, nx, dims, inner,
+        max_trials)
+    info = {
+        "compile_s": round(trace_s + compile_s, 1),
+        "compiled": compiled,
+        "work_per_program": inner,
+        "extra_flops": float(efl),
+        "extra_bytes": float(eby),
+        "accepted": int(np.max(probe_trials)),
+        "rejected": 0,
+        "completed": completed,
+        "max_trials_used": max_trials_used,
+        "fused_loop": True,
+    }
+    return med * inner, best * inner, info
+
+
 def bench_adaptive(args, nx=64, batch=256, dt=0.2):
     """KS IMEX training throughput under the ADAPTIVE engine.
 
@@ -611,6 +778,24 @@ def bench_adaptive(args, nx=64, batch=256, dt=0.2):
               file=sys.stderr)
 
     dt_carry = jnp.asarray(dt_first, jnp.float32)
+
+    # ---- fused ADAPTIVE training-LOOP kernel path ----
+    # (ops/fused_adaptive_loop.py): the complete adaptive iteration —
+    # embedded-error trial loop forward, gated stage-exact reverse, Adam,
+    # cross-iteration dt_first warm start — runs INSIDE one Pallas kernel,
+    # `inner` iterations per launch, with the weight stack, Adam moments,
+    # spectral stage basis ((I-dt*g*J)^{-1} = Q diag Q^T per trial — no LU
+    # in the loop) and dt carry VMEM-resident. Asserted equal to this
+    # function's generic engine path in tests/test_fused_adaptive_loop.py.
+    # Same gate as the fixed-step fused loop + the spectral-basis and
+    # VMEM-fit checks; --no_fused_loop forces the masked-scan engine path.
+    if use_pallas and not args.no_fused_loop:
+        fused = _try_fused_adaptive(args, ode, params, vex, y_tmpl, batch,
+                                    nx, dt, dt_first)
+        if fused is not None:
+            return fused
+        print("fused adaptive loop not applicable; engine path",
+              file=sys.stderr)
 
     t0 = time.time()
     lowered = jax.jit(train_steps).lower(params, opt_state, dt_carry)
