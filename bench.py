@@ -505,8 +505,8 @@ def _try_fused_adaptive(args, ode, params, vex, y_tmpl, batch, nx, dt,
     if basis is None:
         return None
     lam, Q = basis
-    rtol = ode.opts.get_float("ts_rtol", 1e-4)
-    atol = ode.opts.get_float("ts_atol", 1e-4)
+    rtol = ode.opts.get_real("ts_rtol", 1e-4)
+    atol = ode.opts.get_real("ts_atol", 1e-4)
     max_trials = ode.opts.get_int("ts_adapt_max_steps", 32)
     dims = [int(w.shape[1]) for w in spec["Ws"]]
     if not fused_adaptive_loop_fits(batch, nx, dims, max_trials):

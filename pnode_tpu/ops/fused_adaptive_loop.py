@@ -269,16 +269,23 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, bIe, bEe, sign,
     """refs = [Wstack, bstack, mW, mb, vW, vb] inputs, then the same 6
     blocks as outputs, then carry_ref (dt warm start), then stats_ref.
 
-    The whole trial loop is UNROLLED (max_trials static): trial records
-    (pre-step y, dt_try, accept, landed) are register values shared by
-    the forward and the gated reverse — no HBM round trip, no dynamic
-    indexing. Controller math is scalar VPU work; pow lowers to
-    exp/log (Mosaic has no powf)."""
+    The trial loop is a ``fori_loop`` (max_trials static trip count)
+    whose per-trial records (pre-step y in a VMEM scratch block, dt_try/
+    accept/landed scalars in SMEM) are shared by the forward and the
+    gated reverse — no HBM round trip. A fully UNROLLED loop instead
+    keeps every trial's record live in vregs across the whole reverse
+    sweep: at the bench shapes (B=256, 31 trials) Mosaic's register
+    allocator spilled 131 MB to scoped VMEM and the kernel did not fit
+    the chip (measured round 5); the loop form bounds liveness to one
+    trial's working set. Controller math is scalar VPU work; pow lowers
+    to exp/log (Mosaic has no powf)."""
     act = _ACTS[act_name]
     ins = refs[:6]
     outs = refs[6:12]
     carry_ref = refs[12]
     stats_ref = refs[13]
+    yrec_ref = refs[14]   # VMEM scratch (max_trials, Bp, P): pre-step y
+    srec_ref = refs[15]   # SMEM scratch (max_trials, 4): dt/accept/landed
     g_id = pl.program_id(0)
     lr = lr_ref[0, 0]
     maxP = ins[0].shape[1]
@@ -325,22 +332,15 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, bIe, bEe, sign,
         w = 1.0 / (1.0 - (dt * gamma) * lamv[0:1, :])
         return sdot(Q * w, Qt)
 
-    # ---------------- forward: unrolled adaptive trial loop --------------
-    t = jnp.float32(0.0)
-    y = y0
-    dt = carry_ref[0, 0]
-    done = jnp.bool_(False)
-    rejprev = jnp.bool_(False)
-    n_acc = jnp.float32(0.0)
-    n_rej = jnp.float32(0.0)
-    dt_first = jnp.float32(0.0)
-    have_first = jnp.bool_(False)
-    y_out = y0
+    # ---------------- forward: fori_loop adaptive trial loop -------------
+    # (flags carried as f32 0/1 scalars — scalar bool carries are shaky
+    # in Mosaic; records go to scratch, see the kernel docstring)
     land_tol = 1e-10 * max(abs(float(t_end)), 1.0)
 
-    recs = []
-    for k in range(max_trials):
-        done_pre = done
+    def fwd_body(k, c):
+        (t, y, dt, done, rejprev, n_acc, n_rej, dt_first, have_first,
+         y_out) = c
+        done_pre = done > 0.5
         dt_try = jnp.maximum(jnp.minimum(dt, t_end - t), 0.0)
         invf = spectral_inv(dt_try)
         y1, err, _ = _ark_trial(
@@ -357,32 +357,42 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, bIe, bEe, sign,
         # elementary controller: safety * e^(-expo) via exp/log
         fac = safety * jnp.exp(-expo * jnp.log(e_cur))
         fac = jnp.clip(fac, facmin, facmax)
-        fac = jnp.where(rejprev, jnp.minimum(fac, 1.0), fac)
-        dt = jnp.where(done_pre, dt, dt * fac)
-        rejprev = jnp.where(
+        fac = jnp.where(rejprev > 0.5, jnp.minimum(fac, 1.0), fac)
+        dt_new = jnp.where(done_pre, dt, dt * fac)
+        rejprev_new = jnp.where(
             done_pre, rejprev,
-            jnp.logical_and(jnp.logical_not(accept),
-                            jnp.logical_not(done_pre)))
+            jnp.where(accept, 0.0, 1.0))
         t_new = jnp.where(accept, t + dt_try, t)
         y_new = jnp.where(accept, y1, y)
         landed = jnp.logical_and(accept, t_new >= t_end - land_tol)
         y_out = jnp.where(landed, y_new, y_out)
-        done = jnp.logical_or(done_pre, landed)
+        done_new = jnp.maximum(done, jnp.where(landed, 1.0, 0.0))
         n_acc = n_acc + jnp.where(accept, 1.0, 0.0)
         n_rej = n_rej + jnp.where(
             jnp.logical_and(jnp.logical_not(accept),
                             jnp.logical_not(done_pre)), 1.0, 0.0)
         dt_first = jnp.where(
-            jnp.logical_and(accept, jnp.logical_not(have_first)),
+            jnp.logical_and(accept, have_first < 0.5),
             dt_try, dt_first)
-        have_first = jnp.logical_or(have_first, accept)
-        recs.append((y, dt_try, accept, landed))
-        t = t_new
-        y = y_new
+        have_first = jnp.maximum(have_first,
+                                 jnp.where(accept, 1.0, 0.0))
+        # trial record: pre-step state + controller scalars
+        yrec_ref[pl.ds(k, 1)] = y[None]
+        srec_ref[k, 0] = dt_try
+        srec_ref[k, 1] = jnp.where(accept, 1.0, 0.0)
+        srec_ref[k, 2] = jnp.where(landed, 1.0, 0.0)
+        return (t_new, y_new, dt_new, done_new, rejprev_new, n_acc,
+                n_rej, dt_first, have_first, y_out)
+
+    z = jnp.float32(0.0)
+    (t, y, dt, done, rejprev, n_acc, n_rej, dt_first, have_first,
+     y_out) = jax.lax.fori_loop(
+        0, max_trials, fwd_body,
+        (z, y0, carry_ref[0, 0], z, z, z, z, z, z, y0))
 
     dt_last = dt
-    dt_first = jnp.where(have_first, dt_first, dt_last)
-    completed = done
+    dt_first = jnp.where(have_first > 0.5, dt_first, dt_last)
+    completed = done > 0.5
 
     # ---------------- loss + adjoint seed -------------------------------
     diff = (y_out - tgt) * mask
@@ -390,13 +400,14 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, bIe, bEe, sign,
     lam_seed = (2.0 * inv_count) * diff
 
     # ---------------- gated reverse sweep --------------------------------
-    lam = jnp.zeros_like(y0)
-    dW_acc = jnp.zeros((Wv.shape[0], maxP), jnp.float32)
-    db_acc = jnp.zeros((bv.shape[0], maxP), jnp.float32)
-    for k in range(max_trials - 1, -1, -1):
-        y_pre, dt_k, acc_k, land_k = recs[k]
-        lam = lam + jnp.where(land_k, 1.0, 0.0) * lam_seed
-        acc_f = jnp.where(acc_k, 1.0, 0.0)
+    def rev_body(i, c):
+        lam, dW_acc, db_acc = c
+        k = max_trials - 1 - i
+        y_pre = yrec_ref[pl.ds(k, 1)][0]
+        dt_k = srec_ref[k, 0]
+        acc_f = srec_ref[k, 1]
+        land_f = srec_ref[k, 2]
+        lam = lam + land_f * lam_seed
         # replay the trial's stages from the recorded pre-step state
         # (recompute-then-backprop; a rejected slot's result is masked)
         invt = spectral_inv(dt_k)
@@ -407,9 +418,16 @@ def _kernel(s, n_layers, act_name, aI, aE, bI, bE, bIe, bEe, sign,
             s, aI, aE, bI, bE, sign, act_name, n_layers,
             sdot, pdims, offs, maxP, bv.shape[0],
             dt_k, lam, Ws, bs, jf, invt, internals)
-        lam = jnp.where(acc_k, lam_n, lam)
+        lam = jnp.where(acc_f > 0.5, lam_n, lam)
         dW_acc = dW_acc + acc_f * dWk
         db_acc = db_acc + acc_f * dbk
+        return (lam, dW_acc, db_acc)
+
+    lam, dW_acc, db_acc = jax.lax.fori_loop(
+        0, max_trials, rev_body,
+        (jnp.zeros_like(y0),
+         jnp.zeros((Wv.shape[0], maxP), jnp.float32),
+         jnp.zeros((bv.shape[0], maxP), jnp.float32)))
 
     # ---------------- Adam (stacked; optax formula) ----------------------
     t_ad = (t0_ref[0, 0] + g_id + 1).astype(jnp.float32)
@@ -508,9 +526,14 @@ def fused_adaptive_train_loop(
     R = offs[-1]
     Rb = _round_up(n_layers, 8)
 
-    inv0 = (spec_Q * (1.0 / (1.0 - float(dt0) * gamma * spec_lam))
-            ) @ spec_Q.T
-    prec = stiff_prec or resolve_stiff_precision(J_dense, inv0, n_applies=s)
+    if stiff_prec is None:
+        # needs a concrete dt0 (representative operator for the host-side
+        # precision probe); callers jitting over dt0 must pass stiff_prec
+        inv0 = (spec_Q * (1.0 / (1.0 - float(dt0) * gamma * spec_lam))
+                ) @ spec_Q.T
+        prec = resolve_stiff_precision(J_dense, inv0, n_applies=s)
+    else:
+        prec = stiff_prec
     if prec == "high":
         # the per-trial operator is rebuilt inside the kernel; the packed
         # single-issue bf16x3 form would need repacking per trial — use
@@ -587,6 +610,10 @@ def fused_adaptive_train_loop(
         out_shape=tuple(out_shapes),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((max_trials, Bp, P), jnp.float32),
+            pltpu.SMEM((max_trials, 4), jnp.float32),
+        ],
         interpret=interpret,
         **({} if interpret else
            {"compiler_params": tpu_compiler_params()}),
