@@ -185,12 +185,20 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     for epoch in range(args.epochs):
         t0 = time.time()
-        perm = rng.permutation(len(x_tr))
+        # enough shuffled indices to honor iters_per_epoch even when the
+        # dataset is smaller than iters*batch (the synthetic surrogate is
+        # 5k images; silently breaking at len/batch iterations made the
+        # memstat epoch time a 39-iteration number labeled as 390 —
+        # caught round 5 when it disagreed 10x with the fetch-synced
+        # bench protocol)
+        need = iters_per_epoch * args.batch_size
+        perm = np.concatenate([
+            rng.permutation(len(x_tr))
+            for _ in range(-(-need // len(x_tr)))
+        ])[:need]
         losses, accs = [], []
         for it in range(iters_per_epoch):
             idx = perm[it * args.batch_size:(it + 1) * args.batch_size]
-            if len(idx) < args.batch_size:
-                break
             key, sub = jax.random.split(key)
             params, opt_state, loss, acc = train_step(
                 params, opt_state, sub, jnp.asarray(idx)

@@ -267,12 +267,17 @@ class SqueezeNextODE:
     def _fused_meta(self, mod, shape, dtype):
         """fused-kernel meta for this stage, or None (gated off).
 
-        Ladder (``use_pallas="auto"``): whole-chain kernel when its
-        backward resident set fits the raised VMEM limit (ops/vmem.py);
-        else LAYERED mode (one kernel per layer, full-N exact batch
-        stats — this is what fuses CIFAR stage 1, c=32@32x32 b128, whose
-        chain kernel needs ~170 MB); else the XLA path."""
-        if self.use_pallas == "off":
+        ``auto`` resolves to the XLA path: the fused conv-chain kernels
+        are a measured NON-win at CIFAR shapes (same-session fetch-sync
+        A/B, RESULTS.md round 5 — whole-chain on stages 2-3 is neutral
+        because those stages sit at the per-op floor, and LAYERED
+        stage-1 kernels are -23% end-to-end: forward neutral 11.1 vs
+        10.7 ms, hand-written backward 28.0 vs XLA autodiff's 22.0 ms).
+        ``on`` opts in explicitly: whole-chain kernel when its backward
+        resident set fits the raised VMEM limit (ops/vmem.py), else
+        LAYERED mode (one kernel per layer, full-N exact batch stats —
+        the CIFAR stage-1 chain kernel needs ~170 MB), else None."""
+        if self.use_pallas in ("off", "auto"):
             return None
         from ..ops import fused_sqnxt as fs
         from ..ops.vmem import vmem_limit_bytes
@@ -282,7 +287,7 @@ class SqueezeNextODE:
             return None
         B, H, W, C = shape
         meta = fs.make_meta(mod.dim, B, H, W, dtype, interpret=interp)
-        if (self.use_pallas == "auto"
+        if (not interp
                 and fs.vmem_estimate_bytes(meta) > vmem_limit_bytes()):
             meta = fs.make_meta(mod.dim, B, H, W, dtype,
                                 interpret=interp, layered=True)
